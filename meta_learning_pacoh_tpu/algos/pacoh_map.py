@@ -1,0 +1,256 @@
+"""PACOH-MAP: meta-learning a shared GP prior by weight-decayed summed MLL.
+
+Algorithmic parity with the reference `GPRegressionMetaLearned`
+(reference: meta_learn/GPR_meta_mll.py): shared NN mean / NN-feature kernel /
+likelihood noise trained by AdamW (weight decay = meta-regularization) on the
+negative sum of per-task exact MLLs over a sampled task batch; meta-test
+prediction conditions a fresh GP posterior on the context set.
+
+TPU-first design deltas:
+- All tasks live in one padded [T, N, D] tensor; the per-task MLL is `vmap`ed
+  and the whole training step (task sampling + loss + grad + AdamW update) is
+  one jitted function, `lax.scan`ned over `log_period` steps per host call —
+  the reference pays Python/optimizer overhead every iteration
+  (GPR_meta_mll.py:104-117).
+- learning_mode freezes parameter groups via an optax update mask instead of
+  building optimizer param groups (GPR_meta_mll.py:207-251).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from meta_learning_pacoh_tpu.algos.base import RegressionModelMetaLearned
+from meta_learning_pacoh_tpu.models.gp_base import (
+    GPConfig,
+    init_gp_params,
+    gp_prior_mll,
+    gp_predict,
+)
+from meta_learning_pacoh_tpu.ops.distributions import (
+    AffineTransformed,
+    MultivariateNormal,
+    Normal,
+)
+from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+
+
+def make_lr_schedule(lr, lr_decay):
+    if lr_decay < 1.0:
+        # StepLR with step_size=1000 (reference: GPR_meta_mll.py:261-262)
+        return optax.exponential_decay(
+            init_value=lr, transition_steps=1000, decay_rate=lr_decay, staircase=True
+        )
+    return lr
+
+
+class GPRegressionMetaLearned(RegressionModelMetaLearned):
+
+    def __init__(self, meta_train_data, learning_mode="both", lr_params=1e-3,
+                 weight_decay=0.0, feature_dim=2, num_iter_fit=10000,
+                 covar_module="NN", mean_module="NN", mean_nn_layers=(32, 32),
+                 kernel_nn_layers=(32, 32), task_batch_size=5, normalize_data=True,
+                 optimizer="Adam", lr_decay=1.0, random_seed=None):
+        super().__init__(normalize_data, random_seed)
+
+        assert learning_mode in ["learn_mean", "learn_kernel", "both", "vanilla"]
+        assert mean_module in ["NN", "constant", "zero"]
+        assert covar_module in ["NN", "SE"]
+        assert optimizer in ["Adam", "SGD"]
+        if covar_module == "NN":
+            assert learning_mode in ["learn_kernel", "both"], "kernel NN must be learned"
+        if mean_module == "NN":
+            assert learning_mode in ["learn_mean", "both"], "mean NN must be learned"
+
+        self.lr_params, self.weight_decay = lr_params, weight_decay
+        self.num_iter_fit = num_iter_fit
+        self.task_batch_size = task_batch_size
+        self.learning_mode = learning_mode
+
+        self._check_and_set_dims(meta_train_data)
+        self._compute_normalization_stats(meta_train_data)
+        self.X, self.Y, self.mask = self._prepare_meta_data(meta_train_data)
+        self.n_tasks = self.X.shape[0]
+
+        self.cfg = GPConfig(
+            input_dim=self.input_dim,
+            feature_dim=feature_dim,
+            mean_module=mean_module,
+            covar_module=covar_module,
+            mean_nn_layers=tuple(mean_nn_layers),
+            kernel_nn_layers=tuple(kernel_nn_layers),
+            has_outputscale=True,
+            noise_floor=1e-3,
+            init_scheme="torch_linear",
+        )
+        self.params = init_gp_params(self.cfg, self._next_key())
+        # Fixed base key for training: step i always uses fold_in(key, i), so
+        # the run is bit-identical regardless of log_period chunking (the
+        # reference's determinism contract, tests/test_GPR.py:173-187).
+        self._train_key = self._next_key()
+        self._setup_optimizer(optimizer, lr_params, lr_decay)
+        self._step_fn = self._build_step_fn()
+        self._predict_fn = self._build_predict_fn()
+        self._step_count = 0
+
+    # ------------------------------------------------------------------ setup
+    def _check_and_set_dims(self, meta_train_data):
+        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
+        self.input_dim = shapes[0][0].shape[-1]
+        self.output_dim = shapes[0][1].shape[-1]
+        assert all(
+            x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
+            for x, y in shapes
+        )
+
+    def _trainable_mask(self):
+        """Which parameter groups receive updates, per learning_mode
+        (reference: GPR_meta_mll.py:207-251; likelihood noise always trains)."""
+        mode = self.learning_mode
+        learn_kernel = mode in ("learn_kernel", "both")
+        learn_mean = mode in ("learn_mean", "both")
+
+        def leaf_mask(name):
+            if name == "noise_raw":
+                return True
+            if name in ("lengthscale_raw", "outputscale_raw"):
+                return learn_kernel
+            if name == "kernel_nn":
+                return learn_kernel
+            if name in ("mean_nn", "constant_mean"):
+                return learn_mean
+            return False
+
+        mask = {}
+        for name, leaf in self.params.items():
+            flag = leaf_mask(name)
+            mask[name] = jax.tree.map(lambda _: flag, leaf) if isinstance(leaf, dict) else flag
+        return mask
+
+    def _setup_optimizer(self, optimizer, lr, lr_decay):
+        schedule = make_lr_schedule(lr, lr_decay)
+        if optimizer == "Adam":
+            # torch.optim.AdamW(groups, lr, weight_decay=wd): every group decays
+            # (reference: GPR_meta_mll.py:255)
+            base = optax.adamw(schedule, weight_decay=self.weight_decay)
+        else:
+            base = optax.sgd(schedule)
+        self._opt = optax.masked(base, self._trainable_mask())
+        self.opt_state = self._opt.init(self.params)
+
+    # ------------------------------------------------------------- train step
+    def _build_step_fn(self):
+        cfg = self.cfg
+        batch_size = self.task_batch_size
+        opt = self._opt
+        X, Y, M = self.X, self.Y, self.mask
+        n_tasks = self.n_tasks
+
+        def single_step(carry, key):
+            params, opt_state = carry
+            idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+            xb, yb, mb = X[idx], Y[idx], M[idx]
+
+            def loss_fn(p):
+                mlls = jax.vmap(lambda x, y, m: gp_prior_mll(cfg, p, x, y, m))(xb, yb, mb)
+                return -jnp.sum(mlls)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+            steps = start_step + jnp.arange(n_steps)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+            (params, opt_state), losses = jax.lax.scan(
+                single_step, (params, opt_state), keys
+            )
+            return params, opt_state, losses
+
+        return run_chunk
+
+    def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
+        """Meta-learns the GP prior parameters. Returns the last loss."""
+        assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
+        if n_iter is None:
+            n_iter = self.num_iter_fit
+
+        import time
+
+        t = time.time()
+        loss = float("nan")
+        remaining = n_iter
+        itr = 0
+        while remaining > 0:
+            chunk = int(min(log_period, remaining))
+            self.params, self.opt_state, losses = self._step_fn(
+                self.params, self.opt_state, self._train_key, self._step_count, chunk
+            )
+            remaining -= chunk
+            itr += chunk
+            self._step_count += chunk
+            loss = float(losses[-1])
+            avg_loss = float(jnp.mean(losses))
+
+            duration = time.time() - t
+            t = time.time()
+            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                itr, n_iter, avg_loss, duration,
+            )
+            if valid_tuples is not None:
+                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
+                    valid_ll, valid_rmse, calib,
+                )
+            if verbose:
+                self.logger.info(message)
+
+        self.fitted = True
+        return loss
+
+    # ---------------------------------------------------------------- predict
+    def _build_predict_fn(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def predict_fn(params, x_context, y_context, x_test):
+            return gp_predict(cfg, params, x_context, y_context, x_test)
+
+        return predict_fn
+
+    def predict(self, context_x, context_y, test_x, return_density=False):
+        """Posterior-predictive p(y* | x*, context) in original y units."""
+        context_x, context_y = handle_input_dim(context_x, context_y)
+        test_x = handle_input_dim(test_x)
+        assert test_x.shape[1] == context_x.shape[1]
+
+        ctx_x, ctx_y = self._prepare_data_per_task(context_x, context_y)
+        test_xn = jnp.asarray(self._normalize_x(test_x))
+
+        mean, cov = self._predict_fn(self.params, ctx_x, ctx_y, test_xn)
+        base = MultivariateNormal(mean, cov)
+        pred_dist = AffineTransformed(base, self.y_mean[0], self.y_std[0])
+        if return_density:
+            return pred_dist
+        return np.asarray(pred_dist.mean), np.asarray(pred_dist.stddev)
+
+    def _vectorize_pred_dist(self, pred_dist):
+        return Normal(pred_dist.mean, pred_dist.stddev)
+
+    # ------------------------------------------------------------- checkpoint
+    def state_dict(self):
+        return {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self._step_count,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.params = jax.tree.map(jnp.asarray, state_dict["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
+        self._step_count = state_dict.get("step", 0)

@@ -1,0 +1,48 @@
+"""Global runtime configuration for the TPU-native PACOH framework.
+
+The reference pins a module-global torch device (reference: config.py:1-4).
+Here the analogue is backend-dispatch policy: whether the hand-written Pallas
+TPU kernels are used for the hot ops, or the plain XLA lowering. Tests on CPU
+exercise the Pallas kernels in interpreter mode through the same switches.
+"""
+
+import os
+
+import jax
+
+# GP numerics (Gram construction, Cholesky backward, triangular solves) need
+# true-f32 accumulation: TPU MXU's default bf16 matmul passes destroy the
+# conditioning of N x N covariance matrices and NaN the factorization.
+# The matrices here are small, so the f32 throughput cost is irrelevant.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+# Default compute dtype for the GP core. The reference is float32 throughout
+# (reference: meta_learn/abstract.py:109); Cholesky stability also wants f32.
+DTYPE = "float32"
+
+# Largest matrix edge for which the single-block Pallas Cholesky kernel is
+# used; beyond this, XLA's blocked factorization takes over.
+PALLAS_CHOL_MAX_N = 512
+
+
+def _env_flag(name, default=False):
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.lower() not in ("0", "false", "no", "")
+
+
+# Pallas kernels on: by default only when running on real TPU hardware.
+# PACOH_TPU_FORCE_PALLAS=1 runs them in interpreter mode elsewhere (tests).
+# PACOH_TPU_DISABLE_PALLAS=1 forces the pure-XLA path everywhere.
+def pallas_enabled():
+    if _env_flag("PACOH_TPU_DISABLE_PALLAS"):
+        return False
+    if _env_flag("PACOH_TPU_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def pallas_interpret():
+    """Whether pallas_call should run in interpreter mode (non-TPU backends)."""
+    return jax.default_backend() != "tpu"

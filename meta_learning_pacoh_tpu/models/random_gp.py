@@ -1,0 +1,200 @@
+"""GP-prior-as-random-variable: hyper-prior, meta score, Gaussian hyper-posterior.
+
+Functional re-design of the reference's RandomGP machinery (reference:
+meta_learn/random_gp.py): instead of a mutable `VectorizedGP` whose
+parameters are set from a flat vector via deepcopy (random_gp.py:166-169),
+the GP-prior parameters *are* a flat vector — `jax.flatten_util.ravel_pytree`
+provides the bijection to the structured pytree, and every score function is
+a pure function of (flat_params, data) that `vmap` batches over particles or
+SVI samples.
+
+Hyper-prior block structure (reference: random_gp.py:126-157):
+  constant_mean   ~ N(0, 1)
+  lengthscale_raw ~ N(0, 1) per ARD dim
+  noise_raw       ~ N(-1, 1)
+  NN weights      ~ N(0, weight_prior_std), NN biases ~ N(0, bias_prior_std)
+
+Meta score (reference: random_gp.py:204-222):
+  log p~(params | batch) = prior_factor * log hyper_prior(params)
+                           + m~/(m~ + m) * sum_t MLL_t(params)
+with m~ the harmonic-mean task size of the batch, m the batch's task count,
+and each MLL_t divided by its task size (gpytorch convention).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from meta_learning_pacoh_tpu.models.gp_base import GPConfig, init_gp_params, gp_prior_mll
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def random_gp_config(input_dim, feature_dim=2, mean_module="NN", covar_module="NN",
+                     mean_nn_layers=(32, 32), kernel_nn_layers=(32, 32)):
+    """GPConfig for the RandomGP flavor (no outputscale, softplus noise,
+    kaiming-tanh NN init — reference: random_gp.py:22-51)."""
+    return GPConfig(
+        input_dim=input_dim,
+        feature_dim=feature_dim,
+        mean_module=mean_module,
+        covar_module=covar_module,
+        mean_nn_layers=tuple(mean_nn_layers),
+        kernel_nn_layers=tuple(kernel_nn_layers),
+        has_outputscale=False,
+        noise_floor=0.0,
+        init_scheme="kaiming_tanh",
+    )
+
+
+@dataclasses.dataclass
+class HyperPrior:
+    """Factorized Gaussian over the flat GP-prior parameter vector."""
+
+    loc: jnp.ndarray  # [P]
+    scale: jnp.ndarray  # [P]
+    unravel: callable  # flat [P] -> structured params pytree
+    cfg: GPConfig
+
+    @property
+    def dim(self):
+        return self.loc.shape[0]
+
+    def log_prob(self, flat_params):
+        """flat_params [..., P] -> [...] (sum over the event dim)."""
+        z = (flat_params - self.loc) / self.scale
+        return jnp.sum(-0.5 * (z**2 + _LOG_2PI) - jnp.log(self.scale), axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + (self.dim,)
+        return self.loc + self.scale * jax.random.normal(key, shape, self.loc.dtype)
+
+
+def make_hyper_prior(cfg: GPConfig, weight_prior_std=1.0, bias_prior_std=3.0):
+    """Build the block hyper-prior aligned with the flat parameter layout."""
+    template = init_gp_params(cfg, jax.random.PRNGKey(0))
+    _, unravel = ravel_pytree(template)
+
+    def block_loc_scale(path_name, leaf):
+        if path_name == "noise_raw":
+            return jnp.full_like(leaf, -1.0), jnp.ones_like(leaf)
+        if path_name in ("constant_mean", "lengthscale_raw", "outputscale_raw"):
+            return jnp.zeros_like(leaf), jnp.ones_like(leaf)
+        # NN leaves: keys look like ('mean_nn'|'kernel_nn', 'w_*'|'b_*')
+        std = weight_prior_std if path_name.startswith("w_") else bias_prior_std
+        return jnp.zeros_like(leaf), jnp.full_like(leaf, std)
+
+    loc_tree = {}
+    scale_tree = {}
+    for name, leaf in template.items():
+        if isinstance(leaf, dict):  # an MLP block
+            loc_tree[name] = {}
+            scale_tree[name] = {}
+            for pname, p in leaf.items():
+                l, s = block_loc_scale(pname, p)
+                loc_tree[name][pname] = l
+                scale_tree[name][pname] = s
+        else:
+            l, s = block_loc_scale(name, leaf)
+            loc_tree[name] = l
+            scale_tree[name] = s
+
+    loc_flat, _ = ravel_pytree(loc_tree)
+    scale_flat, _ = ravel_pytree(scale_tree)
+    return HyperPrior(loc=loc_flat, scale=scale_flat, unravel=unravel, cfg=cfg)
+
+
+def task_mll_flat(hyper_prior: HyperPrior, flat_params, x, y, mask=None):
+    """Exact MLL / n of one task under GP-prior params given as a flat vector."""
+    params = hyper_prior.unravel(flat_params)
+    return gp_prior_mll(hyper_prior.cfg, params, x, y, mask=mask)
+
+
+def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y, mask=None):
+    """PACOH generalized-Bayes score of K particles on a task batch.
+
+    flat_particles [K, P]; X [T, N, D]; Y [T, N]; mask [T, N] or None.
+    Returns [K].
+    """
+    if mask is None:
+        mask = jnp.ones(Y.shape, dtype=Y.dtype)
+    per_task = jax.vmap(  # over particles
+        jax.vmap(  # over tasks
+            lambda p, x, y, m: task_mll_flat(hyper_prior, p, x, y, m),
+            in_axes=(None, 0, 0, 0),
+        ),
+        in_axes=(0, None, None, None),
+    )(flat_particles, X, Y, mask)  # [K, T]
+
+    n_tasks = X.shape[0]
+    sizes = jnp.sum(mask, axis=-1)  # [T]
+    harmonic_mean = 1.0 / jnp.mean(1.0 / sizes)
+    pre_factor = harmonic_mean / (harmonic_mean + n_tasks)
+
+    lp_prior = hyper_prior.log_prob(flat_particles)  # [K]
+    return prior_factor * lp_prior + pre_factor * jnp.sum(per_task, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Gaussian hyper-posterior (for PACOH-VI / MLAP)
+# Reference: RandomGPPosterior, meta_learn/random_gp.py:224-286.
+# --------------------------------------------------------------------------
+
+
+def init_posterior(key, dim, cov_type="diag", init_std=0.1):
+    k1, k2 = jax.random.split(key)
+    loc = init_std * jax.random.normal(k1, (dim,), jnp.float32)
+    if cov_type == "diag":
+        log_scale = math.log(0.1) + init_std * jax.random.normal(k2, (dim,), jnp.float32)
+        return {"loc": loc, "log_scale": log_scale}
+    elif cov_type == "full":
+        diag = jax.random.uniform(k2, (dim,), jnp.float32, 0.05, 0.1)
+        return {"loc": loc, "tril": jnp.diag(diag)}
+    raise ValueError(f"unknown cov_type {cov_type!r}")
+
+
+def posterior_scale_tril(post):
+    if "log_scale" in post:
+        return jnp.diag(jnp.exp(post["log_scale"]))
+    return jnp.tril(post["tril"])
+
+
+def posterior_stddev(post):
+    if "log_scale" in post:
+        return jnp.exp(post["log_scale"])
+    L = jnp.tril(post["tril"])
+    return jnp.sqrt(jnp.sum(L * L, axis=-1))
+
+
+def posterior_rsample(post, key, n_samples):
+    dim = post["loc"].shape[0]
+    eps = jax.random.normal(key, (n_samples, dim), jnp.float32)
+    if "log_scale" in post:
+        return post["loc"] + jnp.exp(post["log_scale"]) * eps
+    L = jnp.tril(post["tril"])
+    return post["loc"] + eps @ L.T
+
+
+def posterior_log_prob(post, value):
+    """value [..., P] -> [...]."""
+    if "log_scale" in post:
+        scale = jnp.exp(post["log_scale"])
+        z = (value - post["loc"]) / scale
+        return jnp.sum(-0.5 * (z**2 + _LOG_2PI) - post["log_scale"], axis=-1)
+    L = jnp.tril(post["tril"])
+    r = value - post["loc"]
+    z = jax.scipy.linalg.solve_triangular(L, r[..., :, None], lower=True)[..., 0]
+    logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L))))
+    dim = post["loc"].shape[0]
+    return -0.5 * (jnp.sum(z * z, axis=-1) + dim * _LOG_2PI) - logdet
+
+
+def posterior_entropy(post):
+    dim = post["loc"].shape[0]
+    if "log_scale" in post:
+        return 0.5 * dim * (1.0 + _LOG_2PI) + jnp.sum(post["log_scale"])
+    logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(jnp.tril(post["tril"])))))
+    return 0.5 * dim * (1.0 + _LOG_2PI) + logdet

@@ -1,0 +1,60 @@
+"""Differentiable Cholesky with backend dispatch (Pallas TPU kernel / XLA).
+
+`cholesky(A)` is the single entry point the GP engine uses. On TPU, small and
+medium matrices route to the in-VMEM Pallas kernel
+(ops/pallas/chol_kernel.py); everything else uses XLA's blocked
+factorization. A custom VJP (Murray 2016, "Differentiation of the Cholesky
+decomposition") makes the Pallas forward differentiable with two triangular
+solves — the same backward XLA itself uses, verified against autodiff in
+tests/test_chol.py.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from meta_learning_pacoh_tpu import config
+
+
+def _cholesky_impl(a):
+    n = a.shape[-1]
+    if (
+        config.pallas_enabled()
+        and n <= config.PALLAS_CHOL_MAX_N
+        and a.dtype == jnp.float32
+    ):
+        from meta_learning_pacoh_tpu.ops.pallas.chol_kernel import cholesky_pallas
+
+        return cholesky_pallas(a)
+    return jnp.linalg.cholesky(a)
+
+
+@jax.custom_vjp
+def cholesky(a):
+    """Lower-triangular Cholesky factor of PSD matrix/matrices [..., N, N]."""
+    return _cholesky_impl(a)
+
+
+def _cholesky_fwd(a):
+    L = _cholesky_impl(a)
+    return L, L
+
+
+def _phi(x):
+    """Lower triangle with halved diagonal."""
+    return jnp.tril(x) - 0.5 * jnp.tril(jnp.triu(x))
+
+
+def _cholesky_bwd(L, L_bar):
+    # A_bar = L^{-T} Phi(L^T L_bar)_sym L^{-1}, with Phi = tril, half diagonal.
+    M = jnp.matmul(jnp.swapaxes(L, -1, -2), L_bar)
+    P = _phi(M)
+    S = 0.5 * (P + jnp.swapaxes(P, -1, -2))
+    X = solve_triangular(L, S, lower=True, trans=1)  # L^T X = S
+    A_bar = jnp.swapaxes(
+        solve_triangular(L, jnp.swapaxes(X, -1, -2), lower=True, trans=1), -1, -2
+    )
+    return (A_bar,)
+
+
+cholesky.defvjp(_cholesky_fwd, _cholesky_bwd)

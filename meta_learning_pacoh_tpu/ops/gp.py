@@ -1,0 +1,102 @@
+"""Masked exact-GP engine: marginal log-likelihood and posterior conditioning.
+
+This is the numerical core that replaces gpytorch's ExactGP machinery
+(reference: meta_learn/models.py:489-538 + gpytorch's ExactMarginalLogLikelihood,
+invoked from meta_learn/GPR_meta_mll.py:111-113). Design deltas for TPU:
+
+- Pure functions of (mean-vector, Gram-matrix, targets) with canonical
+  *unbatched* shapes; `vmap` supplies the task/particle axes and `pjit`
+  shards them. No modules, no caching objects.
+- Padding masks make ragged task sets (e.g. Physionet) static-shape: a padded
+  point's Gram row/column is replaced by the identity row and its residual by
+  zero, so it contributes exactly 0 to both the quadratic form and the
+  log-determinant, and the Cholesky factorization of the real block is
+  untouched.
+- Cholesky goes through `ops.chol.cholesky`, which dispatches to a Pallas
+  TPU kernel for batched small-N factorizations and to XLA elsewhere
+  (pallas_call has batching rules, so the vmapped axes reach the kernel grid).
+
+Conventions matching the reference numerics:
+- `gp_mll` returns the joint Gaussian log-density divided by the number of
+  (real) data points — gpytorch's ExactMarginalLogLikelihood scales by
+  num_data, and both the PACOH-MAP loss and the RandomGP score functions
+  inherit that scale.
+- `noise_var` is a *variance* (gpytorch GaussianLikelihood convention).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from meta_learning_pacoh_tpu.ops.chol import cholesky
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def add_noise_masked(K, noise_var, mask=None, jitter=1e-6):
+    """K [N, N] + noise*I, with padded rows/cols replaced by identity rows.
+
+    mask: [N] with 1.0 = real point, 0.0 = padding (None = all real).
+    noise_var: scalar observation-noise variance.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    if mask is None:
+        return K + (noise_var + jitter) * eye
+    m2 = mask[:, None] * mask[None, :]
+    diag = jnp.where(mask > 0, noise_var + jitter, 1.0)
+    return K * m2 + diag[:, None] * eye
+
+
+def gp_mll(mean, K, y, noise_var, mask=None, jitter=1e-6):
+    """Exact GP marginal log-likelihood, divided by the number of real points.
+
+    mean, y: [N]; K: [N, N]; noise_var: scalar. Returns a scalar.
+    """
+    Kn = add_noise_masked(K, noise_var, mask, jitter)
+    r = y - mean
+    if mask is not None:
+        r = r * mask
+        n_eff = jnp.sum(mask)
+    else:
+        n_eff = jnp.asarray(float(y.shape[-1]), dtype=y.dtype)
+
+    L = cholesky(Kn)
+    z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
+    quad = jnp.sum(z * z)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    ll = -0.5 * (quad + logdet + n_eff * _LOG_2PI)
+    return ll / n_eff
+
+
+def gp_posterior(mean_c, K_cc, K_ct, mean_t, K_tt, y_c, noise_var, mask_c=None,
+                 jitter=1e-6):
+    """Exact GP posterior over the latent f at test points, given context data.
+
+    mean_c, y_c: [Nc]; K_cc: [Nc, Nc]; K_ct: [Nc, Nt]; mean_t: [Nt];
+    K_tt: [Nt, Nt]. Returns (post_mean [Nt], post_cov [Nt, Nt]).
+    """
+    Kn = add_noise_masked(K_cc, noise_var, mask_c, jitter)
+    r = y_c - mean_c
+    if mask_c is not None:
+        r = r * mask_c
+        K_ct = K_ct * mask_c[:, None]
+
+    L = cholesky(Kn)
+    alpha = jax.scipy.linalg.cho_solve((L, True), r[:, None])[:, 0]
+    post_mean = mean_t + K_ct.T @ alpha
+    V = jax.scipy.linalg.solve_triangular(L, K_ct, lower=True)
+    post_cov = K_tt - V.T @ V
+    return post_mean, post_cov
+
+
+def mvn_log_prob(y, mean, cov, jitter=1e-6):
+    """Joint log-density of y under N(mean, cov). y, mean: [N]; cov: [N, N]."""
+    n = y.shape[-1]
+    L = cholesky(cov + jitter * jnp.eye(n, dtype=cov.dtype))
+    r = y - mean
+    z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
+    quad = jnp.sum(z * z)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return -0.5 * (quad + logdet + n * _LOG_2PI)
