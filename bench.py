@@ -1,0 +1,57 @@
+"""Driver benchmark: PACOH-SVGD meta-training throughput on 20-task Sinusoid.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.json / BASELINE.md north star): PACOH-SVGD meta-training,
+20-task Sinusoid, 10 particles, < 60 s wall-clock on one TPU v5e chip for the
+default 10000-iteration fit => 166.7 steps/sec baseline. vs_baseline is the
+speedup over that target.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from meta_learning_pacoh_tpu.datasets import SinusoidDataset
+    from meta_learning_pacoh_tpu import GPRegressionMetaLearnedSVGD
+
+    env = SinusoidDataset(random_state=np.random.RandomState(26))
+    meta_train = env.generate_meta_train_data(n_tasks=20, n_samples=5)
+    meta_test = env.generate_meta_test_data(n_tasks=20, n_samples_context=5,
+                                            n_samples_test=50)
+
+    m = GPRegressionMetaLearnedSVGD(
+        meta_train, num_iter_fit=10000, num_particles=10, random_seed=30,
+        prior_factor=0.01, task_batch_size=-1,
+    )
+    # warm-up: compile the training chunk
+    m.meta_fit(verbose=False, log_period=10, n_iter=10)
+
+    n_iter = 10000
+    t0 = time.time()
+    m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+    elapsed = time.time() - t0
+    steps_per_sec = n_iter / elapsed
+
+    ll, rmse, calib = m.eval_datasets(meta_test)
+
+    baseline_steps_per_sec = 10000 / 60.0  # north-star: 10k-iter fit in <60 s
+    print(json.dumps({
+        "metric": "pacoh_svgd_meta_train_steps_per_sec_sin20",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 3),
+        "extra": {
+            "elapsed_sec_10k_iters": round(elapsed, 3),
+            "test_ll": round(ll, 4),
+            "test_rmse": round(rmse, 4),
+            "calib_err": round(calib, 4),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

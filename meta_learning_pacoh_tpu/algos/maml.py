@@ -1,6 +1,218 @@
-"""Placeholder — implemented later this round."""
+"""MAML for few-shot regression.
+
+Parity with the reference `MAMLRegression` (reference: meta_learn/MAML.py):
+a plain tanh MLP whose initialization is meta-learned; each task's data is
+split in half — the first ceil(n/2) points drive `num_inner_steps` inner SGD
+steps (lr_inner), the rest give the meta MSE objective; second-order
+meta-gradients (the reference's create_graph=True, MAML.py:210-214) come for
+free from differentiating through the unrolled `lax.scan` inner loop.
+Evaluation is RMSE-only (MAML.py:148-185).
+"""
+
+import functools
+import math
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from meta_learning_pacoh_tpu.algos.base import RegressionModelMetaLearned
+from meta_learning_pacoh_tpu.algos.pacoh_map import make_lr_schedule
+from meta_learning_pacoh_tpu.models.mlp import init_mlp_params, mlp_apply
+from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
 
 
-class MAMLRegression:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("maml not yet implemented")
+def _mse(params, x, y):
+    return jnp.mean((mlp_apply(params, x) - y) ** 2)
+
+
+def inner_adapt(params, x, y, lr_inner, num_steps):
+    """Differentiable unrolled inner SGD; gradients flow through the unroll."""
+    def step(p, _):
+        grads = jax.grad(_mse)(p, x, y)
+        p = jax.tree.map(lambda w, g: w - lr_inner * g, p, grads)
+        return p, None
+
+    params, _ = jax.lax.scan(step, params, None, length=num_steps)
+    return params
+
+
+class MAMLRegression(RegressionModelMetaLearned):
+
+    def __init__(self, meta_train_data, layer_sizes=(32, 32, 32, 32),
+                 num_iter_fit=20000, lr_inner=0.05, num_inner_steps=1,
+                 task_batch_size=5, lr_meta=1e-3, lr_decay=1.0, optimizer="Adam",
+                 normalize_data=True, random_seed=None):
+        super().__init__(normalize_data, random_seed)
+        assert optimizer in ["Adam", "SGD"]
+
+        self._check_and_set_dims(meta_train_data)
+        self._compute_normalization_stats(meta_train_data)
+        X, Y, mask = self._prepare_meta_data(meta_train_data)
+        assert float(jnp.min(mask)) == 1.0, "MAML requires equal-size tasks"
+        self.X, self.Y = X, Y
+        self.n_tasks = X.shape[0]
+
+        self.lr_inner = lr_inner
+        self.num_inner_steps = num_inner_steps
+        self.task_batch_size = task_batch_size
+        self.num_iter_fit = num_iter_fit
+
+        self.params = init_mlp_params(
+            self._next_key(), self.input_dim, self.output_dim,
+            tuple(layer_sizes), scheme="torch_linear",
+        )
+        self._train_key = self._next_key()
+
+        schedule = make_lr_schedule(lr_meta, lr_decay)
+        self._opt = optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+        self.opt_state = self._opt.init(self.params)
+        self._step_fn = self._build_step_fn()
+        self._adapt_fn = self._build_adapt_fn()
+        self._step_count = 0
+
+    def _check_and_set_dims(self, meta_train_data):
+        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
+        self.input_dim = shapes[0][0].shape[-1]
+        self.output_dim = shapes[0][1].shape[-1]
+        assert all(x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
+                   for x, y in shapes)
+
+    def _prepare_meta_data(self, meta_train_tuples):
+        """MAML keeps y 2-D (output_dim may exceed 1)."""
+        from meta_learning_pacoh_tpu.utils.input_handling import stack_task_tuples
+
+        tasks = [handle_input_dim(x, y) for x, y in meta_train_tuples]
+        n_max = max(x.shape[0] for x, _ in tasks)
+        T, d, dy = len(tasks), tasks[0][0].shape[1], tasks[0][1].shape[1]
+        X = np.zeros((T, n_max, d), np.float32)
+        Y = np.zeros((T, n_max, dy), np.float32)
+        mask = np.zeros((T, n_max), np.float32)
+        for i, (x, y) in enumerate(tasks):
+            xn, yn = self._normalize_data(x, y)
+            X[i, : x.shape[0]] = xn
+            Y[i, : x.shape[0]] = yn
+            mask[i, : x.shape[0]] = 1.0
+        return jnp.asarray(X), jnp.asarray(Y), jnp.asarray(mask)
+
+    # ------------------------------------------------------------- train step
+    def _build_step_fn(self):
+        X, Y = self.X, self.Y
+        n = X.shape[1]
+        idx_split = math.ceil(n / 2.0)
+        lr_inner, num_inner = self.lr_inner, self.num_inner_steps
+        n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        opt = self._opt
+
+        def task_loss(params, x, y):
+            x1, y1 = x[:idx_split], y[:idx_split]
+            x2, y2 = x[idx_split:], y[idx_split:]
+            adapted = inner_adapt(params, x1, y1, lr_inner, num_inner)
+            return _mse(adapted, x2, y2)
+
+        def single_step(carry, key):
+            params, opt_state = carry
+            idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+            def meta_loss(p):
+                losses = jax.vmap(lambda x, y: task_loss(p, x, y))(X[idx], Y[idx])
+                return jnp.mean(losses)
+            loss, grads = jax.value_and_grad(meta_loss)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+            steps = start_step + jnp.arange(n_steps)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+            (params, opt_state), losses = jax.lax.scan(
+                single_step, (params, opt_state), keys
+            )
+            return params, opt_state, losses
+
+        return run_chunk
+
+    def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
+        assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
+        if n_iter is None:
+            n_iter = self.num_iter_fit
+        t = time.time()
+        loss = float("nan")
+        remaining, itr = n_iter, 0
+        while remaining > 0:
+            chunk = int(min(log_period, remaining))
+            self.params, self.opt_state, losses = self._step_fn(
+                self.params, self.opt_state, self._train_key, self._step_count, chunk
+            )
+            remaining -= chunk
+            itr += chunk
+            self._step_count += chunk
+            loss = float(losses[-1])
+
+            duration = time.time() - t
+            t = time.time()
+            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                itr, n_iter, float(jnp.mean(losses)), duration,
+            )
+            if valid_tuples is not None:
+                valid_rmse = self.eval_datasets(valid_tuples)
+                message += " Valid-RMSE: %.3f " % valid_rmse
+            if verbose:
+                self.logger.info(message)
+
+        self.fitted = True
+        return loss
+
+    # ---------------------------------------------------------------- predict
+    def _build_adapt_fn(self):
+        lr_inner = self.lr_inner
+
+        @functools.partial(jax.jit, static_argnames=("num_steps",))
+        def adapt_and_predict(params, xc, yc, xt, num_steps):
+            adapted = inner_adapt(params, xc, yc, lr_inner, num_steps)
+            return mlp_apply(adapted, xt), mlp_apply(params, xt)
+
+        return adapt_and_predict
+
+    def predict(self, context_x, context_y, test_x, num_steps_eval=None):
+        """Adapts on the context and predicts test means (adapted, initial)."""
+        if num_steps_eval is None:
+            num_steps_eval = self.num_inner_steps
+        context_x, context_y = handle_input_dim(context_x, context_y)
+        test_x = handle_input_dim(test_x)
+        assert test_x.shape[1] == context_x.shape[1]
+
+        xc, yc = self._normalize_data(context_x, context_y)
+        xt = self._normalize_x(test_x)
+        y_pred, y_pred_initial = self._adapt_fn(
+            self.params, jnp.asarray(xc), jnp.asarray(yc), jnp.asarray(xt),
+            num_steps_eval,
+        )
+        unnorm = lambda y: np.asarray(y) * self.y_std[None, :] + self.y_mean[None, :]
+        return unnorm(y_pred), unnorm(y_pred_initial)
+
+    def eval(self, context_x, context_y, test_x, test_y, num_steps_eval=None):
+        """RMSE after adaptation (reference: MAML.py:148-170)."""
+        test_x, test_y = handle_input_dim(test_x, test_y)
+        y_pred, _ = self.predict(context_x, context_y, test_x,
+                                 num_steps_eval=num_steps_eval)
+        return float(np.sqrt(np.mean(np.sum((y_pred - test_y) ** 2, axis=-1))))
+
+    def eval_datasets(self, test_tuples, **kwargs):
+        assert all(len(t) == 4 for t in test_tuples)
+        return float(np.mean([self.eval(*t, **kwargs) for t in test_tuples]))
+
+    # ------------------------------------------------------------- checkpoint
+    def state_dict(self):
+        return {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self._step_count,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.params = jax.tree.map(jnp.asarray, state_dict["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
+        self._step_count = state_dict.get("step", 0)

@@ -1,6 +1,189 @@
-"""Placeholder — implemented later this round."""
+"""Neural Process meta-learner.
+
+Parity with the reference `NPRegressionMetaLearned` (reference:
+meta_learn/NPR_meta.py wrapping third_party/neural_processes): per-task ELBO
+with context-subset-of-target splits, AdamW meta-optimization, and stochastic
+eval-mode prediction with z ~ q(z | context).
+
+Note: the reference constructor swaps `context_split_ratio` and
+`weight_decay` when storing them (NPR_meta.py:45 — a bug); here the names
+mean what they say.
+"""
+
+import functools
+import math
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from meta_learning_pacoh_tpu.algos.base import RegressionModelMetaLearned
+from meta_learning_pacoh_tpu.algos.pacoh_map import make_lr_schedule
+from meta_learning_pacoh_tpu.models.neural_process import (
+    init_np_params,
+    np_elbo_loss,
+    np_predict,
+)
+from meta_learning_pacoh_tpu.ops.distributions import AffineTransformed, Normal
+from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
 
 
-class NPRegressionMetaLearned:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("npr not yet implemented")
+class NPRegressionMetaLearned(RegressionModelMetaLearned):
+
+    def __init__(self, meta_train_data, context_split_ratio=0.5, lr_params=1e-3,
+                 r_dim=50, z_dim=50, h_dim=50, num_iter_fit=10000, weight_decay=1e-2,
+                 task_batch_size=5, normalize_data=True, optimizer="Adam",
+                 lr_decay=1.0, random_seed=None):
+        super().__init__(normalize_data, random_seed)
+        assert optimizer in ["Adam", "SGD"]
+
+        self._check_and_set_dims(meta_train_data)
+        self._compute_normalization_stats(meta_train_data)
+        X, Y, mask = self._prepare_meta_data(meta_train_data)
+        assert float(jnp.min(mask)) == 1.0, "NP learner requires equal-size tasks"
+        self.X, self.Y = X, Y[..., None]  # y kept 2-D per point
+        self.n_tasks, n_samples = X.shape[0], X.shape[1]
+
+        self.num_context = math.ceil(context_split_ratio * n_samples)
+        self.num_iter_fit = num_iter_fit
+        self.task_batch_size = task_batch_size
+
+        self.params = init_np_params(
+            self._next_key(), self.input_dim, self.output_dim,
+            r_dim=r_dim, z_dim=z_dim, h_dim=h_dim,
+        )
+        self._train_key = self._next_key()
+
+        schedule = make_lr_schedule(lr_params, lr_decay)
+        if optimizer == "Adam":
+            self._opt = optax.adamw(schedule, weight_decay=weight_decay)
+        else:
+            self._opt = optax.sgd(schedule)
+        self.opt_state = self._opt.init(self.params)
+        self._step_fn = self._build_step_fn()
+        self._predict_fn = jax.jit(np_predict)
+        self._step_count = 0
+
+    def _check_and_set_dims(self, meta_train_data):
+        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
+        self.input_dim = shapes[0][0].shape[-1]
+        self.output_dim = shapes[0][1].shape[-1]
+        assert all(x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
+                   for x, y in shapes)
+
+    # ------------------------------------------------------------- train step
+    def _build_step_fn(self):
+        X, Y = self.X, self.Y
+        num_context = self.num_context
+        n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        opt = self._opt
+
+        def single_step(carry, key):
+            params, opt_state = carry
+            k_task, k_split = jax.random.split(key)
+            idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
+
+            def loss_fn(p):
+                keys = jax.random.split(k_split, batch_size)
+                losses = jax.vmap(
+                    lambda k, x, y: np_elbo_loss(p, k, x, y, num_context)
+                )(keys, X[idx], Y[idx])
+                return jnp.sum(losses)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+            steps = start_step + jnp.arange(n_steps)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+            (params, opt_state), losses = jax.lax.scan(
+                single_step, (params, opt_state), keys
+            )
+            return params, opt_state, losses
+
+        return run_chunk
+
+    def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
+        assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
+        if n_iter is None:
+            n_iter = self.num_iter_fit
+        t = time.time()
+        loss = float("nan")
+        remaining, itr = n_iter, 0
+        while remaining > 0:
+            chunk = int(min(log_period, remaining))
+            self.params, self.opt_state, losses = self._step_fn(
+                self.params, self.opt_state, self._train_key, self._step_count, chunk
+            )
+            remaining -= chunk
+            itr += chunk
+            self._step_count += chunk
+            loss = float(losses[-1])
+
+            duration = time.time() - t
+            t = time.time()
+            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                itr, n_iter, float(jnp.mean(losses)), duration,
+            )
+            if valid_tuples is not None:
+                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
+                    valid_ll, valid_rmse, calib,
+                )
+            if verbose:
+                self.logger.info(message)
+
+        self.fitted = True
+        return loss
+
+    # ---------------------------------------------------------------- predict
+    def predict(self, context_x, context_y, test_x, return_density=False):
+        """Stochastic NP prediction (z ~ q(z|context)), original y units."""
+        context_x, context_y = handle_input_dim(context_x, context_y)
+        test_x = handle_input_dim(test_x)
+        assert test_x.shape[1] == context_x.shape[1]
+
+        xc, yc = self._normalize_data(context_x, context_y)
+        xt = self._normalize_x(test_x)
+        mu, sigma = self._predict_fn(
+            self.params, self._next_key(), jnp.asarray(xc), jnp.asarray(yc),
+            jnp.asarray(xt),
+        )
+        base = Normal(mu[:, 0], sigma[:, 0])
+        pred_dist = AffineTransformed(base, self.y_mean[0], self.y_std[0])
+        if return_density:
+            return pred_dist
+        return np.asarray(pred_dist.mean), np.asarray(pred_dist.stddev)
+
+    def eval(self, context_x, context_y, test_x, test_y, **kwargs):
+        """avg_ll = mean per-point log-density (the reference evaluates NP
+        with flatten_y=False, making the divisor 1 — NPR_meta.py via
+        abstract.py:151-157)."""
+        test_x, test_y = handle_input_dim(test_x, test_y)
+        test_y_flat = test_y.flatten()
+        pred_dist = self.predict(context_x, context_y, test_x, return_density=True)
+        avg_ll = float(jnp.mean(pred_dist.log_prob(jnp.asarray(test_y_flat))))
+        rmse = float(jnp.sqrt(jnp.mean((pred_dist.mean - test_y_flat) ** 2)))
+        calib = self._calib_error(self._vectorize_pred_dist(pred_dist), test_y_flat)
+        return avg_ll, rmse, calib
+
+    def _vectorize_pred_dist(self, pred_dist):
+        return Normal(pred_dist.mean, pred_dist.stddev)
+
+    # ------------------------------------------------------------- checkpoint
+    def state_dict(self):
+        return {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self._step_count,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.params = jax.tree.map(jnp.asarray, state_dict["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
+        self._step_count = state_dict.get("step", 0)

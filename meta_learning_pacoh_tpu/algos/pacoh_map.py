@@ -124,11 +124,13 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                 return learn_mean
             return False
 
-        mask = {}
+        labels = {}
         for name, leaf in self.params.items():
-            flag = leaf_mask(name)
-            mask[name] = jax.tree.map(lambda _: flag, leaf) if isinstance(leaf, dict) else flag
-        return mask
+            label = "train" if leaf_mask(name) else "freeze"
+            labels[name] = (
+                jax.tree.map(lambda _: label, leaf) if isinstance(leaf, dict) else label
+            )
+        return labels
 
     def _setup_optimizer(self, optimizer, lr, lr_decay):
         schedule = make_lr_schedule(lr, lr_decay)
@@ -138,7 +140,9 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             base = optax.adamw(schedule, weight_decay=self.weight_decay)
         else:
             base = optax.sgd(schedule)
-        self._opt = optax.masked(base, self._trainable_mask())
+        self._opt = optax.multi_transform(
+            {"train": base, "freeze": optax.set_to_zero()}, self._trainable_mask()
+        )
         self.opt_state = self._opt.init(self.params)
 
     # ------------------------------------------------------------- train step

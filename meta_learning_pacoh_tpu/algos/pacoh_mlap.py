@@ -1,6 +1,455 @@
-"""Placeholder — implemented later this round."""
+"""PACOH-MLAP/PAC: nested two-level PAC-Bayes bound with per-task variational
+GP posteriors.
+
+Algorithmic parity with the reference `GPRegressionMetaLearnedPAC`
+(reference: meta_learn/GPR_meta_mlap.py): a Gaussian hyper-posterior over
+GP-prior parameters, a global Gaussian likelihood noise, and one variational
+Gaussian q_t(f) per task at its train points, all trained jointly on
+
+    loss = mean_t [ -avg E_{q_t}[ll] + sqrt((KL_out + KL_in + log 2 + log m
+                                             + log n - log delta)/(2(m-1))) ]
+           + meta_complexity                       (GPR_meta_mlap.py:318-370)
+
+Meta-testing *optimizes* fresh per-task posteriors (default 3000 Adam steps,
+lr=1e-2) initialized from the moment-matched aggregation of 20 hyper-posterior
+prior samples (GPR_meta_mlap.py:244-291, 407-435).
+
+TPU-first design deltas:
+- KL(q_hyper || hyper_prior) is the closed form (both Gaussian) instead of an
+  S-sample estimate; per-(task x theta-sample) inner KLs are analytic Gaussian
+  KLs vmapped over both axes.
+- Meta-test inference is ONE jitted `lax.scan` over optimizer steps, vmapped
+  over ALL test tasks at once — the reference loops tasks x 3000 Python/torch
+  steps (its meta-test is the dominant eval cost, SURVEY.md §3.2).
+- meta_complexity uses the paper's formula sqrt((KL + log 2 + log n - log
+  delta)/(2(n-1))); the reference's parenthesization divides only log delta
+  (GPR_meta_mlap.py:360) — behavior judged a bug, not copied.
+"""
+
+import functools
+import math
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from meta_learning_pacoh_tpu.algos.base import RegressionModelMetaLearned
+from meta_learning_pacoh_tpu.algos.pacoh_map import make_lr_schedule
+from meta_learning_pacoh_tpu.models.gp_base import gp_mean, gp_gram
+from meta_learning_pacoh_tpu.models.random_gp import (
+    init_posterior,
+    make_hyper_prior,
+    posterior_kl_to_prior,
+    posterior_rsample,
+    random_gp_config,
+)
+from meta_learning_pacoh_tpu.ops.chol import safe_cholesky
+from meta_learning_pacoh_tpu.ops.kernels import softplus, inv_softplus
+from meta_learning_pacoh_tpu.ops.variational import (
+    expected_log_prob_gaussian,
+    gaussian_kl_chol,
+    svgp_predict,
+)
+from meta_learning_pacoh_tpu.ops.distributions import (
+    AffineTransformed,
+    MultivariateNormal,
+    Normal,
+)
+from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+
+_N_AGG_SAMPLES = 20  # hyper-posterior samples for prior aggregation (ref :244)
 
 
-class GPRegressionMetaLearnedPAC:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("pacoh_mlap not yet implemented")
+class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
+
+    def __init__(self, meta_train_data, num_iter_fit=40000, feature_dim=1,
+                 weight_prior_std=0.5, bias_prior_std=3.0, delta=0.1,
+                 task_kl_weight=1.0, meta_kl_weight=1.0, posterior_lr_multiplier=1.0,
+                 covar_module="SE", mean_module="zero", mean_nn_layers=(32, 32),
+                 kernel_nn_layers=(32, 32), optimizer="Adam", lr=1e-3, lr_decay=1.0,
+                 svi_batch_size=5, cov_type="diag", task_batch_size=-1,
+                 likelihood_noise_init=0.01, normalize_data=True, random_seed=None):
+        super().__init__(normalize_data, random_seed)
+
+        # the RandomGP flavor supports NN/constant means; 'zero' maps to a
+        # constant mean initialized (and hyper-prior-centred) at zero
+        if mean_module == "zero":
+            mean_module = "constant"
+        assert mean_module in ["NN", "constant"]
+        assert covar_module in ["NN", "SE"]
+        assert optimizer in ["Adam", "SGD"]
+
+        self.num_iter_fit = num_iter_fit
+        self.delta = delta
+        self.task_kl_weight, self.meta_kl_weight = task_kl_weight, meta_kl_weight
+        self.svi_batch_size = svi_batch_size
+        self.lr = lr
+
+        self._check_and_set_dims(meta_train_data)
+        self._compute_normalization_stats(meta_train_data)
+        self.X, self.Y, self.mask = self._prepare_meta_data(meta_train_data)
+        assert float(jnp.min(self.mask)) == 1.0, (
+            "PACOH-MLAP currently requires equal-size tasks"
+        )
+        self.n_tasks = self.X.shape[0]
+        if task_batch_size < 1:
+            self.task_batch_size = self.n_tasks
+        else:
+            self.task_batch_size = min(task_batch_size, self.n_tasks)
+
+        self.cfg = random_gp_config(
+            self.input_dim, feature_dim=feature_dim, mean_module=mean_module,
+            covar_module=covar_module, mean_nn_layers=mean_nn_layers,
+            kernel_nn_layers=kernel_nn_layers,
+        )
+        self.hyper_prior = make_hyper_prior(
+            self.cfg, weight_prior_std=weight_prior_std, bias_prior_std=bias_prior_std
+        )
+
+        hyper_post = init_posterior(self._next_key(), self.hyper_prior.dim,
+                                    cov_type=cov_type)
+        raw_noise = inv_softplus(likelihood_noise_init - 1e-4)
+        q_means, q_trils = self._init_task_posteriors(
+            hyper_post, self.X, self._next_key()
+        )
+        self.params = {
+            "hyper_post": hyper_post,
+            "raw_noise": jnp.asarray(raw_noise, jnp.float32),
+            "q_means": q_means,
+            "q_trils": q_trils,
+        }
+        self._train_key = self._next_key()
+        self._setup_optimizer(optimizer, lr, lr_decay, posterior_lr_multiplier)
+        self._step_fn = self._build_step_fn()
+        self._meta_test_fn = self._build_meta_test_fn()
+        self._step_count = 0
+
+    def _check_and_set_dims(self, meta_train_data):
+        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
+        self.input_dim = shapes[0][0].shape[-1]
+        self.output_dim = shapes[0][1].shape[-1]
+        assert all(x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
+                   for x, y in shapes)
+
+    # --------------------------------------------------------------- helpers
+    def _noise_var(self, raw_noise):
+        return softplus(raw_noise) + 1e-4
+
+    def _prior_moments(self, theta, x):
+        """Moment-matched GP prior from hyper-posterior samples theta [S, P]
+        at points x [N, D] -> (mean [N], cov [N, N])
+        (reference aggregation: GPR_meta_mlap.py:407-435)."""
+        unravel, cfg = self.hyper_prior.unravel, self.cfg
+
+        def one(flat):
+            p = unravel(flat)
+            return gp_mean(cfg, p, x), gp_gram(cfg, p, x)
+
+        means, covs = jax.vmap(one)(theta)
+        mean = jnp.mean(means, axis=0)
+        resid = means - mean
+        cov = (jnp.mean(covs, axis=0)
+               + jnp.mean(resid[:, :, None] * resid[:, None, :], axis=0)
+               + 1e-5 * jnp.eye(x.shape[0]))
+        return mean, cov
+
+    def _init_task_posteriors(self, hyper_post, X, key):
+        """q_t init at the aggregated prior (reference: GPR_meta_mlap.py:247-256)."""
+        k_theta, k_eps = jax.random.split(key)
+        theta = posterior_rsample(hyper_post, k_theta, _N_AGG_SAMPLES)
+
+        def one(x, eps):
+            mean, cov = self._prior_moments(theta, x)
+            q_mean = mean + 1e-3 * eps
+            q_tril = safe_cholesky(cov + 1e-3 * jnp.eye(x.shape[0]))
+            return q_mean, q_tril
+
+        eps = jax.random.normal(k_eps, X.shape[:2], jnp.float32)
+        return jax.vmap(one)(X, eps)
+
+    def _task_bound(self, q_mean, q_tril, x, y, theta, noise_var, kl_outer, n_tasks):
+        """One task's PAC bound term (reference: GPR_meta_mlap.py:318-355)."""
+        unravel, cfg = self.hyper_prior.unravel, self.cfg
+        L = jnp.tril(q_tril)
+        f_var = jnp.sum(L**2, axis=-1)
+        avg_ll = jnp.mean(expected_log_prob_gaussian(y, q_mean, f_var, noise_var))
+
+        def kl_one(flat):
+            p = unravel(flat)
+            return gaussian_kl_chol(q_mean, L, gp_mean(cfg, p, x), gp_gram(cfg, p, x))
+
+        kl_inner = self.task_kl_weight * jnp.mean(jax.vmap(kl_one)(theta))
+        m = float(y.shape[0])
+        complexity = jnp.sqrt(
+            (kl_outer + kl_inner + math.log(2.0) + math.log(m)
+             + math.log(n_tasks) - math.log(self.delta)) / (2.0 * (m - 1.0))
+        )
+        return -avg_ll + complexity, avg_ll, kl_inner
+
+    # ------------------------------------------------------------------ setup
+    def _setup_optimizer(self, optimizer, lr, lr_decay, posterior_lr_multiplier):
+        schedule = make_lr_schedule(lr, lr_decay)
+        post_schedule = make_lr_schedule(lr * posterior_lr_multiplier, lr_decay)
+        make = optax.adam if optimizer == "Adam" else optax.sgd
+        labels = {
+            "hyper_post": jax.tree.map(lambda _: "main", self.params["hyper_post"]),
+            "raw_noise": "main",
+            "q_means": "posterior",
+            "q_trils": "posterior",
+        }
+        self._opt = optax.multi_transform(
+            {"main": make(schedule), "posterior": make(post_schedule)}, labels
+        )
+        self.opt_state = self._opt.init(self.params)
+
+    # ------------------------------------------------------------- train step
+    def _build_step_fn(self):
+        X, Y = self.X, self.Y
+        n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        svi = self.svi_batch_size
+        opt = self._opt
+        hyper_prior = self.hyper_prior
+        meta_kl_weight = self.meta_kl_weight
+
+        def loss_fn(params, key, idx):
+            theta = posterior_rsample(params["hyper_post"], key, svi)
+            kl_outer_raw = posterior_kl_to_prior(params["hyper_post"], hyper_prior)
+            kl_outer = meta_kl_weight * kl_outer_raw
+            noise_var = self._noise_var(params["raw_noise"])
+
+            def per_task(i):
+                return self._task_bound(
+                    params["q_means"][i], params["q_trils"][i], X[i], Y[i],
+                    theta, noise_var, kl_outer, float(n_tasks),
+                )
+
+            bounds, avg_lls, kl_inners = jax.vmap(per_task)(idx)
+            meta_complexity = jnp.sqrt(
+                (kl_outer + math.log(2.0) + math.log(float(n_tasks))
+                 - math.log(self.delta)) / (2.0 * (n_tasks - 1.0))
+            )
+            loss = jnp.mean(bounds) + meta_complexity
+            diag = {
+                "avg_ll": jnp.mean(avg_lls),
+                "kl_outer_weighted": kl_outer,
+                "kl_inner_weighted": jnp.mean(kl_inners),
+            }
+            return loss, diag
+
+        def single_step(carry, key):
+            params, opt_state = carry
+            k_task, k_theta = jax.random.split(key)
+            idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
+            (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, k_theta, idx
+            )
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, diag)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+            steps = start_step + jnp.arange(n_steps)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+            (params, opt_state), (losses, diags) = jax.lax.scan(
+                single_step, (params, opt_state), keys
+            )
+            return params, opt_state, losses, diags
+
+        return run_chunk
+
+    def meta_fit(self, valid_tuples=None, verbose=True, log_period=500,
+                 eval_period=5000, n_iter=None):
+        """Trains the hyper-posterior + per-task posteriors on the PAC bound."""
+        assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
+        if n_iter is None:
+            n_iter = self.num_iter_fit
+
+        t = time.time()
+        loss, diag = float("nan"), {}
+        remaining, itr = n_iter, 0
+        while remaining > 0:
+            chunk = int(min(log_period, remaining))
+            self.params, self.opt_state, losses, diags = self._step_fn(
+                self.params, self.opt_state, self._train_key, self._step_count, chunk
+            )
+            remaining -= chunk
+            itr += chunk
+            self._step_count += chunk
+            loss = float(losses[-1])
+            diag = {k: float(v[-1]) for k, v in diags.items()}
+
+            duration = time.time() - t
+            t = time.time()
+            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec - " % (
+                itr, n_iter, loss, duration,
+            )
+            if valid_tuples is not None and itr % eval_period == 0:
+                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
+                    valid_ll, valid_rmse, calib,
+                )
+            message += " - ".join("%s: %.4f" % (k, v) for k, v in diag.items())
+            if verbose:
+                self.logger.info(message)
+
+        self.fitted = True
+        return loss, diag
+
+    # ------------------------------------------------------- meta-test (fit q)
+    def _build_meta_test_fn(self):
+        svi = self.svi_batch_size
+        hyper_prior = self.hyper_prior
+        meta_kl_weight = self.meta_kl_weight
+
+        def make_loss(Xc, Yc, n_tasks_meta):
+            def loss_fn(q_params, hyper_post, raw_noise, key):
+                theta = posterior_rsample(hyper_post, key, svi)
+                kl_outer = meta_kl_weight * posterior_kl_to_prior(hyper_post, hyper_prior)
+                noise_var = self._noise_var(raw_noise)
+
+                def per_task(q_mean, q_tril, x, y):
+                    b, _, _ = self._task_bound(
+                        q_mean, q_tril, x, y, theta, noise_var, kl_outer,
+                        float(n_tasks_meta),
+                    )
+                    return b
+
+                bounds = jax.vmap(per_task)(
+                    q_params["q_means"], q_params["q_trils"], Xc, Yc
+                )
+                return jnp.sum(bounds)
+
+            return loss_fn
+
+        @functools.partial(jax.jit, static_argnames=("n_iter", "lr"))
+        def run_inference(hyper_post, raw_noise, Xc, Yc, q_means, q_trils, key,
+                          n_iter, lr):
+            loss_fn = make_loss(Xc, Yc, self.n_tasks)
+            opt = optax.adam(lr)
+            q_params = {"q_means": q_means, "q_trils": q_trils}
+            opt_state = opt.init(q_params)
+
+            def step(carry, k):
+                q, st = carry
+                loss, grads = jax.value_and_grad(loss_fn)(q, hyper_post, raw_noise, k)
+                updates, st = opt.update(grads, st, q)
+                q = optax.apply_updates(q, updates)
+                return (q, st), loss
+
+            keys = jax.random.split(key, n_iter)
+            (q_params, _), losses = jax.lax.scan(step, (q_params, opt_state), keys)
+            return q_params, losses
+
+        return run_inference
+
+    def _meta_test_inference(self, context_tuples, n_iter=3000, lr=1e-2):
+        """Fit per-task posteriors for the given contexts; returns the task
+        state needed for prediction. All tasks optimized in ONE vmapped scan."""
+        prepared = [self._prepare_data_per_task(x, y) for x, y in context_tuples]
+        assert len({x.shape for x, _ in prepared}) == 1, (
+            "meta-test contexts must share a shape"
+        )
+        Xc = jnp.stack([x for x, _ in prepared])
+        Yc = jnp.stack([y for _, y in prepared])
+
+        k_init, k_opt, k_theta = jax.random.split(self._next_key(), 3)
+        theta_agg = posterior_rsample(self.params["hyper_post"], k_theta, _N_AGG_SAMPLES)
+        q_means, q_trils = self._init_task_posteriors(self.params["hyper_post"], Xc, k_init)
+        q_params, losses = self._meta_test_fn(
+            self.params["hyper_post"], self.params["raw_noise"], Xc, Yc,
+            q_means, q_trils, k_opt, n_iter, lr,
+        )
+        return {
+            "Xc": Xc, "Yc": Yc,
+            "q_means": q_params["q_means"], "q_trils": q_params["q_trils"],
+            "theta_agg": theta_agg,
+        }
+
+    def _predictive(self, task_state, i, x_test_n):
+        """Aggregated-prior SVGP predictive for task i at normalized test x."""
+        xc = task_state["Xc"][i]
+        nc = xc.shape[0]
+        x_all = jnp.concatenate([xc, x_test_n], axis=0)
+        mean_all, cov_all = self._prior_moments(task_state["theta_agg"], x_all)
+        mean_c, mean_t = mean_all[:nc], mean_all[nc:]
+        K_cc = cov_all[:nc, :nc]
+        K_ct = cov_all[:nc, nc:]
+        K_tt = cov_all[nc:, nc:]
+        m, c = svgp_predict(
+            task_state["q_means"][i], jnp.tril(task_state["q_trils"][i]),
+            mean_c, K_cc, K_ct, mean_t, K_tt,
+        )
+        noise_var = self._noise_var(self.params["raw_noise"])
+        c = c + noise_var * jnp.eye(c.shape[-1])
+        return m, c
+
+    def predict(self, context_x, context_y, test_x, n_iter_meta_test=3000,
+                return_density=False):
+        context_x, context_y = handle_input_dim(context_x, context_y)
+        test_x = handle_input_dim(test_x)
+        assert test_x.shape[1] == context_x.shape[1]
+
+        task_state = self._meta_test_inference([(context_x, context_y)],
+                                               n_iter=n_iter_meta_test)
+        test_xn = jnp.asarray(self._normalize_x(test_x))
+        mean, cov = self._predictive(task_state, 0, test_xn)
+        pred_dist = AffineTransformed(
+            MultivariateNormal(mean, cov), self.y_mean[0], self.y_std[0]
+        )
+        if return_density:
+            return pred_dist
+        return np.asarray(pred_dist.mean), np.asarray(pred_dist.stddev)
+
+    def eval_datasets(self, test_tuples, n_iter_meta_test=3000, **kwargs):
+        """Meta-test inference for ALL tasks in one vmapped scan, then eval."""
+        assert all(len(t) == 4 for t in test_tuples)
+        from meta_learning_pacoh_tpu.algos.base import calib_error
+
+        context_tuples = [t[:2] for t in test_tuples]
+        task_state = self._meta_test_inference(context_tuples, n_iter=n_iter_meta_test)
+
+        lls, rmses, calibs = [], [], []
+        for i, (_, _, test_x, test_y) in enumerate(test_tuples):
+            test_x, test_y = handle_input_dim(test_x, test_y)
+            test_y_flat = test_y.flatten()
+            test_xn = jnp.asarray(self._normalize_x(test_x))
+            mean, cov = self._predictive(task_state, i, test_xn)
+            pred_dist = AffineTransformed(
+                MultivariateNormal(mean, cov), self.y_mean[0], self.y_std[0]
+            )
+            lls.append(float(pred_dist.log_prob(jnp.asarray(test_y_flat)))
+                       / test_y_flat.shape[0])
+            rmses.append(float(jnp.sqrt(jnp.mean((pred_dist.mean - test_y_flat) ** 2))))
+            calibs.append(calib_error(Normal(pred_dist.mean, pred_dist.stddev),
+                                      test_y_flat))
+        return float(np.mean(lls)), float(np.mean(rmses)), float(np.mean(calibs))
+
+    def prior_mean(self, x, n_hyperposterior_samples=1000):
+        """Aggregated prior mean curve in original units
+        (reference: GPR_meta_mlap.py:392-405)."""
+        x = handle_input_dim(np.asarray(x))
+        xn = jnp.asarray(self._normalize_x(x))
+        theta = posterior_rsample(self.params["hyper_post"], self._next_key(),
+                                  n_hyperposterior_samples)
+        unravel, cfg = self.hyper_prior.unravel, self.cfg
+        means = jax.vmap(lambda f: gp_mean(cfg, unravel(f), xn))(theta)
+        return np.asarray(jnp.mean(means, axis=0)) * self.y_std[0] + self.y_mean[0]
+
+    def _vectorize_pred_dist(self, pred_dist):
+        return Normal(pred_dist.mean, pred_dist.stddev)
+
+    # ------------------------------------------------------------- checkpoint
+    def state_dict(self):
+        return {
+            "params": jax.tree.map(np.asarray, self.params),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self._step_count,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.params = jax.tree.map(jnp.asarray, state_dict["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
+        self._step_count = state_dict.get("step", 0)

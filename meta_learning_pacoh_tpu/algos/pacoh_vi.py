@@ -1,6 +1,245 @@
-"""Placeholder — implemented later this round."""
+"""PACOH-VI: Gaussian variational hyper-posterior over GP-prior parameters.
+
+Algorithmic parity with the reference `GPRegressionMetaLearnedVI`
+(reference: meta_learn/GPR_meta_vi.py): the negative ELBO
+
+    -E_q[ log p~(params | batch) - prior_factor * log q(params) ]
+
+estimated with `svi_batch_size` reparameterized samples
+(GPR_meta_vi.py:216-226), a diag- or full-covariance Gaussian posterior
+(random_gp.py:224-286), and Bayes/MAP prediction modes (mixture over
+posterior samples vs. posterior-mean GP, GPR_meta_vi.py:130-174).
+
+Note: the reference's `state_dict` is broken as written (references a
+nonexistent task model, GPR_meta_vi.py:176-184); here it round-trips the
+posterior + optimizer state.
+"""
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from meta_learning_pacoh_tpu.algos.base import RegressionModelMetaLearned
+from meta_learning_pacoh_tpu.algos.pacoh_map import make_lr_schedule
+from meta_learning_pacoh_tpu.models.gp_base import gp_predict
+from meta_learning_pacoh_tpu.models.random_gp import (
+    init_posterior,
+    make_hyper_prior,
+    meta_log_prob,
+    posterior_entropy,
+    posterior_log_prob,
+    posterior_rsample,
+    random_gp_config,
+)
+from meta_learning_pacoh_tpu.ops.distributions import (
+    AffineTransformed,
+    EqualWeightedMixture,
+    MultivariateNormal,
+    Normal,
+)
+from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
 
 
-class GPRegressionMetaLearnedVI:
-    def __init__(self, *a, **k):
-        raise NotImplementedError("pacoh_vi not yet implemented")
+class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
+
+    def __init__(self, meta_train_data, num_iter_fit=10000, feature_dim=1,
+                 prior_factor=0.01, weight_prior_std=0.5, bias_prior_std=3.0,
+                 covar_module="NN", mean_module="NN", mean_nn_layers=(32, 32),
+                 kernel_nn_layers=(32, 32), optimizer="Adam", lr=1e-3, lr_decay=1.0,
+                 svi_batch_size=10, cov_type="diag", task_batch_size=-1,
+                 normalize_data=True, random_seed=None):
+        super().__init__(normalize_data, random_seed)
+
+        assert mean_module in ["NN", "constant"]
+        assert covar_module in ["NN", "SE"]
+        assert optimizer in ["Adam", "SGD"]
+        assert cov_type in ["diag", "full"]
+
+        self.num_iter_fit = num_iter_fit
+        self.prior_factor = prior_factor
+        self.svi_batch_size = svi_batch_size
+
+        self._check_and_set_dims(meta_train_data)
+        self._compute_normalization_stats(meta_train_data)
+        self.X, self.Y, self.mask = self._prepare_meta_data(meta_train_data)
+        self.n_tasks = self.X.shape[0]
+        if task_batch_size < 1:
+            self.task_batch_size = self.n_tasks
+        else:
+            self.task_batch_size = min(task_batch_size, self.n_tasks)
+
+        self.cfg = random_gp_config(
+            self.input_dim, feature_dim=feature_dim, mean_module=mean_module,
+            covar_module=covar_module, mean_nn_layers=mean_nn_layers,
+            kernel_nn_layers=kernel_nn_layers,
+        )
+        self.hyper_prior = make_hyper_prior(
+            self.cfg, weight_prior_std=weight_prior_std, bias_prior_std=bias_prior_std
+        )
+        self.posterior = init_posterior(
+            self._next_key(), self.hyper_prior.dim, cov_type=cov_type
+        )
+        self._train_key = self._next_key()
+
+        schedule = make_lr_schedule(lr, lr_decay)
+        self._opt = optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+        self.opt_state = self._opt.init(self.posterior)
+
+        self._step_fn = self._build_step_fn()
+        self._predict_fn = self._build_predict_fn()
+        self._step_count = 0
+
+    def _check_and_set_dims(self, meta_train_data):
+        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
+        self.input_dim = shapes[0][0].shape[-1]
+        self.output_dim = shapes[0][1].shape[-1]
+        assert all(
+            x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
+            for x, y in shapes
+        )
+
+    # ------------------------------------------------------------- train step
+    def _build_step_fn(self):
+        hyper_prior, prior_factor = self.hyper_prior, self.prior_factor
+        svi_batch_size = self.svi_batch_size
+        X, Y, M = self.X, self.Y, self.mask
+        n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        opt = self._opt
+
+        def neg_elbo(post, key, xb, yb, mb):
+            samples = posterior_rsample(post, key, svi_batch_size)  # [S, P]
+            lp = meta_log_prob(hyper_prior, prior_factor, samples, xb, yb, mb)  # [S]
+            # E_q[log q] == -H(q) exactly for a Gaussian: the reference
+            # estimates it from samples (GPR_meta_vi.py:221), but for the
+            # full-covariance family the triangular solve behind log q is
+            # catastrophically ill-conditioned in f32 at P ~ thousands of
+            # parameters; the closed form is the same objective with zero
+            # variance and no solve.
+            elbo = jnp.mean(lp) + prior_factor * posterior_entropy(post)
+            return -elbo
+
+        def single_step(carry, key):
+            post, opt_state = carry
+            k_task, k_sample = jax.random.split(key)
+            idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
+            xb, yb, mb = X[idx], Y[idx], M[idx]
+            loss, grads = jax.value_and_grad(neg_elbo)(post, k_sample, xb, yb, mb)
+            updates, opt_state = opt.update(grads, opt_state, post)
+            post = optax.apply_updates(post, updates)
+            return (post, opt_state), loss
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def run_chunk(post, opt_state, base_key, start_step, n_steps):
+            steps = start_step + jnp.arange(n_steps)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+            (post, opt_state), losses = jax.lax.scan(single_step, (post, opt_state), keys)
+            return post, opt_state, losses
+
+        return run_chunk
+
+    def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
+        """Fits the variational hyper-posterior by minimizing the negative ELBO."""
+        assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
+        if n_iter is None:
+            n_iter = self.num_iter_fit
+
+        t = time.time()
+        loss = float("nan")
+        remaining, itr = n_iter, 0
+        while remaining > 0:
+            chunk = int(min(log_period, remaining))
+            self.posterior, self.opt_state, losses = self._step_fn(
+                self.posterior, self.opt_state, self._train_key, self._step_count, chunk
+            )
+            remaining -= chunk
+            itr += chunk
+            self._step_count += chunk
+            loss = float(losses[-1])
+
+            duration = time.time() - t
+            t = time.time()
+            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (itr, n_iter, loss, duration)
+            if valid_tuples is not None:
+                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
+                    valid_ll, valid_rmse, calib,
+                )
+            if verbose:
+                self.logger.info(message)
+
+        self.fitted = True
+        return loss
+
+    # ---------------------------------------------------------------- predict
+    def _build_predict_fn(self):
+        cfg, hyper_prior = self.cfg, self.hyper_prior
+
+        @functools.partial(jax.jit, static_argnames=("n_samples",))
+        def predict_bayes(post, key, x_context, y_context, x_test, n_samples):
+            samples = posterior_rsample(post, key, n_samples)
+
+            def one(flat):
+                params = hyper_prior.unravel(flat)
+                return gp_predict(cfg, params, x_context, y_context, x_test)
+
+            means, covs = jax.vmap(one)(samples)
+            return means, covs
+
+        @jax.jit
+        def predict_map(post, x_context, y_context, x_test):
+            params = hyper_prior.unravel(post["loc"])
+            return gp_predict(cfg, params, x_context, y_context, x_test)
+
+        return predict_bayes, predict_map
+
+    def predict(self, context_x, context_y, test_x, n_posterior_samples=100,
+                mode="Bayes", return_density=False):
+        assert mode in ["bayes", "Bayes", "MAP", "map"]
+        context_x, context_y = handle_input_dim(context_x, context_y)
+        test_x = handle_input_dim(test_x)
+        assert test_x.shape[1] == context_x.shape[1]
+
+        ctx_x, ctx_y = self._prepare_data_per_task(context_x, context_y)
+        test_xn = jnp.asarray(self._normalize_x(test_x))
+
+        predict_bayes, predict_map = self._predict_fn
+        if mode.lower() == "bayes":
+            means, covs = predict_bayes(
+                self.posterior, self._next_key(), ctx_x, ctx_y, test_xn,
+                n_posterior_samples,
+            )
+            base = MultivariateNormal(means, covs)
+            pred_dist = EqualWeightedMixture(
+                AffineTransformed(base, self.y_mean[0], self.y_std[0])
+            )
+        else:
+            mean, cov = predict_map(self.posterior, ctx_x, ctx_y, test_xn)
+            pred_dist = AffineTransformed(
+                MultivariateNormal(mean, cov), self.y_mean[0], self.y_std[0]
+            )
+        if return_density:
+            return pred_dist
+        return np.asarray(pred_dist.mean), np.asarray(pred_dist.stddev)
+
+    def _vectorize_pred_dist(self, pred_dist):
+        if isinstance(pred_dist, EqualWeightedMixture):
+            base = pred_dist.base
+            return EqualWeightedMixture(Normal(base.mean, base.stddev))
+        return Normal(pred_dist.mean, pred_dist.stddev)
+
+    # ------------------------------------------------------------- checkpoint
+    def state_dict(self):
+        return {
+            "posterior": jax.tree.map(np.asarray, self.posterior),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "step": self._step_count,
+        }
+
+    def load_state_dict(self, state_dict):
+        self.posterior = jax.tree.map(jnp.asarray, state_dict["posterior"])
+        self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
+        self._step_count = state_dict.get("step", 0)

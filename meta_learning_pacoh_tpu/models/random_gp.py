@@ -145,6 +145,11 @@ def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y, m
 
 
 def init_posterior(key, dim, cov_type="diag", init_std=0.1):
+    """Gaussian posterior params. The full-covariance scale_tril stores its
+    diagonal in log space (diagonal = exp(diag(tril_raw))) — the reference's
+    unconstrained diagonal (random_gp.py:250) can cross zero under Adam and
+    blow up the density; positive parameterization removes that failure mode
+    without changing the represented family."""
     k1, k2 = jax.random.split(key)
     loc = init_std * jax.random.normal(k1, (dim,), jnp.float32)
     if cov_type == "diag":
@@ -152,20 +157,27 @@ def init_posterior(key, dim, cov_type="diag", init_std=0.1):
         return {"loc": loc, "log_scale": log_scale}
     elif cov_type == "full":
         diag = jax.random.uniform(k2, (dim,), jnp.float32, 0.05, 0.1)
-        return {"loc": loc, "tril": jnp.diag(diag)}
+        return {"loc": loc, "tril_raw": jnp.diag(jnp.log(diag))}
     raise ValueError(f"unknown cov_type {cov_type!r}")
 
 
 def posterior_scale_tril(post):
     if "log_scale" in post:
         return jnp.diag(jnp.exp(post["log_scale"]))
-    return jnp.tril(post["tril"])
+    raw = post["tril_raw"]
+    return jnp.tril(raw, -1) + jnp.diag(jnp.exp(jnp.diagonal(raw)))
+
+
+def posterior_log_diag(post):
+    if "log_scale" in post:
+        return post["log_scale"]
+    return jnp.diagonal(post["tril_raw"])
 
 
 def posterior_stddev(post):
     if "log_scale" in post:
         return jnp.exp(post["log_scale"])
-    L = jnp.tril(post["tril"])
+    L = posterior_scale_tril(post)
     return jnp.sqrt(jnp.sum(L * L, axis=-1))
 
 
@@ -174,8 +186,7 @@ def posterior_rsample(post, key, n_samples):
     eps = jax.random.normal(key, (n_samples, dim), jnp.float32)
     if "log_scale" in post:
         return post["loc"] + jnp.exp(post["log_scale"]) * eps
-    L = jnp.tril(post["tril"])
-    return post["loc"] + eps @ L.T
+    return post["loc"] + eps @ posterior_scale_tril(post).T
 
 
 def posterior_log_prob(post, value):
@@ -184,17 +195,36 @@ def posterior_log_prob(post, value):
         scale = jnp.exp(post["log_scale"])
         z = (value - post["loc"]) / scale
         return jnp.sum(-0.5 * (z**2 + _LOG_2PI) - post["log_scale"], axis=-1)
-    L = jnp.tril(post["tril"])
+    L = posterior_scale_tril(post)
     r = value - post["loc"]
-    z = jax.scipy.linalg.solve_triangular(L, r[..., :, None], lower=True)[..., 0]
-    logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L))))
+    batch_shape = r.shape[:-1]
+    r2 = r.reshape((-1, r.shape[-1]))  # [S, P]
+    z = jax.scipy.linalg.solve_triangular(L, r2.T, lower=True).T  # [S, P]
+    logdet = jnp.sum(posterior_log_diag(post))
     dim = post["loc"].shape[0]
-    return -0.5 * (jnp.sum(z * z, axis=-1) + dim * _LOG_2PI) - logdet
+    quad = jnp.sum(z * z, axis=-1).reshape(batch_shape)
+    return -0.5 * (quad + dim * _LOG_2PI) - logdet
 
 
 def posterior_entropy(post):
     dim = post["loc"].shape[0]
+    return 0.5 * dim * (1.0 + _LOG_2PI) + jnp.sum(posterior_log_diag(post))
+
+
+def posterior_kl_to_prior(post, hyper_prior: HyperPrior):
+    """Closed-form KL( q_hyper || hyper_prior ) — both Gaussians, the prior
+    factorized. Replaces the reference's S-sample estimate of
+    E_q[log q - log p] (GPR_meta_mlap.py:314-316) with its exact value.
+    """
+    mu_p, sig_p = hyper_prior.loc, hyper_prior.scale
+    r = post["loc"] - mu_p
+    quad = jnp.sum((r / sig_p) ** 2)
+    logdet_p = 2.0 * jnp.sum(jnp.log(sig_p))
+    logdet_q = 2.0 * jnp.sum(posterior_log_diag(post))
+    dim = post["loc"].shape[0]
     if "log_scale" in post:
-        return 0.5 * dim * (1.0 + _LOG_2PI) + jnp.sum(post["log_scale"])
-    logdet = jnp.sum(jnp.log(jnp.abs(jnp.diagonal(jnp.tril(post["tril"])))))
-    return 0.5 * dim * (1.0 + _LOG_2PI) + logdet
+        trace = jnp.sum((jnp.exp(post["log_scale"]) / sig_p) ** 2)
+    else:
+        L = posterior_scale_tril(post)
+        trace = jnp.sum((L / sig_p[:, None]) ** 2)
+    return 0.5 * (trace + quad - dim + logdet_p - logdet_q)

@@ -58,3 +58,27 @@ def _cholesky_bwd(L, L_bar):
 
 
 cholesky.defvjp(_cholesky_fwd, _cholesky_bwd)
+
+
+def safe_cholesky(K, jitters=(1e-6, 1e-4, 1e-2)):
+    """Cholesky with escalating diagonal jitter (gpytorch psd_safe_cholesky
+    semantics, reference fallback: GPR_meta_mlap.py:439-448), jit-compatible.
+
+    The jitter *selection* runs on a stop-gradient copy so the picked level is
+    a constant w.r.t. autodiff and no NaN from failed trial factorizations can
+    leak into the backward pass; the returned factor is a single clean
+    cholesky at the selected jitter.
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    K_nd = jax.lax.stop_gradient(K)
+
+    def ok(j):
+        L = _cholesky_impl(K_nd + j * eye)
+        d = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
+
+    jitter = jnp.asarray(jitters[-1], K.dtype)
+    for j in reversed(jitters[:-1]):
+        jitter = jnp.where(ok(j), jnp.asarray(j, K.dtype), jitter)
+    return cholesky(K + jitter * eye)

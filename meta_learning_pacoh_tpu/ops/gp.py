@@ -29,7 +29,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from meta_learning_pacoh_tpu.ops.chol import cholesky
+from meta_learning_pacoh_tpu.ops.chol import cholesky, safe_cholesky
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -62,7 +62,10 @@ def gp_mll(mean, K, y, noise_var, mask=None, jitter=1e-6):
     else:
         n_eff = jnp.asarray(float(y.shape[-1]), dtype=y.dtype)
 
-    L = cholesky(Kn)
+    # escalating jitter: sampled GP-prior params can drive the likelihood
+    # noise to ~0 (softplus, no floor on the random-GP flavor), where the
+    # base 1e-6 jitter under-regularizes the f32 factorization
+    L = safe_cholesky(Kn, jitters=(0.0, 1e-4, 1e-2))
     z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
     quad = jnp.sum(z * z)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
@@ -94,7 +97,7 @@ def gp_posterior(mean_c, K_cc, K_ct, mean_t, K_tt, y_c, noise_var, mask_c=None,
 def mvn_log_prob(y, mean, cov, jitter=1e-6):
     """Joint log-density of y under N(mean, cov). y, mean: [N]; cov: [N, N]."""
     n = y.shape[-1]
-    L = cholesky(cov + jitter * jnp.eye(n, dtype=cov.dtype))
+    L = safe_cholesky(cov, jitters=(jitter, 1e-4, 1e-2))
     r = y - mean
     z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
     quad = jnp.sum(z * z)

@@ -1,0 +1,63 @@
+"""Variational-GP building blocks: Gaussian KL, expected log-likelihood,
+and the sparse-GP predictive.
+
+These own the roles gpytorch's VariationalStrategy/CholeskyVariationalDistribution
+play for the reference (meta_learn/models.py:545-601, GPR_pac.py:89-152,
+GPR_meta_mlap.py:247-355), in a single coherent *unwhitened* parameterization:
+q(f) = N(m, L L^T) directly over the latent function at the train/context
+points. (The reference mixes whitened and unwhitened conventions across its
+meta-train and meta-test paths; here both use the same math.)
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from meta_learning_pacoh_tpu.ops.chol import cholesky, safe_cholesky
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def gaussian_kl_chol(m0, L0, m1, K1, jitter=1e-6):
+    """KL( N(m0, L0 L0^T) || N(m1, K1) ). m0, m1: [N]; L0: [N, N] lower;
+    K1: [N, N] PSD. Returns scalar."""
+    n = m0.shape[-1]
+    L1 = safe_cholesky(K1, jitters=(jitter, 1e-4, 1e-2))
+    M = solve_triangular(L1, L0, lower=True)  # L1^{-1} L0
+    trace = jnp.sum(M * M)
+    d = solve_triangular(L1, (m1 - m0)[:, None], lower=True)[:, 0]
+    quad = jnp.sum(d * d)
+    logdet1 = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L1)))
+    logdet0 = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L0)) + 1e-12))
+    return 0.5 * (trace + quad - n + logdet1 - logdet0)
+
+
+def expected_log_prob_gaussian(y, f_mean, f_var, noise_var):
+    """E_{f~N(f_mean, f_var)}[ log N(y | f, noise_var) ], elementwise [N].
+
+    Reference formula: meta_learn/models.py:482-487 (GaussianLikelihoodLight).
+    """
+    return -0.5 * (((y - f_mean) ** 2 + f_var) / noise_var
+                   + jnp.log(noise_var) + _LOG_2PI)
+
+
+def svgp_predict(q_mean, q_chol, mean_c, K_cc, K_ct, mean_t, K_tt, jitter=1e-6):
+    """Predictive q(f*) from a variational posterior at the context points.
+
+    q(f_c) = N(q_mean, q_chol q_chol^T); prior mean/cov (mean_c, K_cc) at
+    context, (mean_t, K_tt) at test, cross K_ct [Nc, Nt].
+
+        A      = K_cc^{-1} K_ct
+        mean*  = mean_t + A^T (q_mean - mean_c)
+        cov*   = K_tt - K_tc K_cc^{-1} K_ct + A^T S A
+    """
+    nc = q_mean.shape[-1]
+    L = safe_cholesky(K_cc, jitters=(jitter, 1e-4, 1e-2))
+    A = jax.scipy.linalg.cho_solve((L, True), K_ct)  # [Nc, Nt]
+    post_mean = mean_t + A.T @ (q_mean - mean_c)
+    SA = jnp.tril(q_chol).T @ A  # [Nc, Nt]
+    V = solve_triangular(L, K_ct, lower=True)
+    post_cov = K_tt - V.T @ V + SA.T @ SA
+    return post_mean, post_cov
