@@ -27,12 +27,16 @@ def main():
         meta_train, num_iter_fit=10000, num_particles=10, random_seed=30,
         prior_factor=0.01, task_batch_size=-1,
     )
-    # warm-up: compile the training chunk
-    m.meta_fit(verbose=False, log_period=10, n_iter=10)
-
+    # warm-up with the SAME chunk length so the timed run recompiles nothing
+    # (the tunneled remote-compile service can stall for minutes)
     n_iter = 10000
+    m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+    float(m.particles[0, 0])  # readback fence (block_until_ready is
+    # unreliable through the tunneled runtime)
+
     t0 = time.time()
     m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+    float(m.particles[0, 0])
     elapsed = time.time() - t0
     steps_per_sec = n_iter / elapsed
 

@@ -1,0 +1,128 @@
+"""TPE hyperparameter search per algorithm + top-config seeded re-evaluation.
+
+Parity with the reference search pipeline (reference:
+experiments/hyperparam_search/meta_mll_hyperparm.py:31-157): a TPE-suggested
+search over the algorithm's hyperparameters reporting test_ll/test_rmse/
+calib_err, then the top-N configs re-run over multiple test seeds. The
+ray-tune + hyperopt machinery is replaced by meta_learning_pacoh_tpu.utils.tuning
+(same interface: search space -> trials -> select_best_configs -> re-eval).
+"""
+
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+
+import numpy as np
+import pandas as pd
+from absl import app, flags
+
+from meta_learning_pacoh_tpu.datasets import provide_data
+from meta_learning_pacoh_tpu.utils.tuning import (
+    Choice, LogUniform, Uniform, select_best_configs, tune_run,
+)
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string("algo", "pacoh_map", "pacoh_map | pacoh_svgd | pacoh_vi")
+flags.DEFINE_string("dataset", "sin_20", "dataset key")
+flags.DEFINE_integer("num_samples", 40, "number of TPE trials")
+flags.DEFINE_integer("n_iter_fit", 10000, "meta-train iterations per trial")
+flags.DEFINE_integer("n_eval_tasks", 40, "validation tasks per trial")
+flags.DEFINE_integer("n_test_seeds", 5, "seeds for final re-evaluation")
+flags.DEFINE_integer("top_n", 5, "top configs to re-evaluate")
+flags.DEFINE_string("local_dir", "./tune_out", "tuning state directory")
+flags.DEFINE_boolean("resume", False, "resume from experiment state")
+
+
+def search_space(algo):
+    if algo == "pacoh_map":
+        return {
+            "lr": LogUniform(5e-4, 5e-3),
+            "weight_decay": LogUniform(1e-3, 1.0),
+            "feature_dim": Choice([2, 4, 8]),
+            "task_batch_size": Choice([4, 10, 20]),
+        }
+    if algo == "pacoh_svgd":
+        return {
+            "lr": LogUniform(5e-4, 5e-3),
+            "prior_factor": LogUniform(1e-4, 1e-1),
+            "bandwidth": Uniform(0.1, 10.0),
+            "num_particles": Choice([5, 10]),
+        }
+    if algo == "pacoh_vi":
+        return {
+            "lr": LogUniform(5e-4, 5e-3),
+            "prior_factor": LogUniform(1e-4, 1e-1),
+            "svi_batch_size": Choice([5, 10]),
+        }
+    raise ValueError(algo)
+
+
+def build_and_eval(algo, config, dataset, seed, n_iter, n_eval_tasks):
+    from meta_learning_pacoh_tpu import (
+        GPRegressionMetaLearned,
+        GPRegressionMetaLearnedSVGD,
+        GPRegressionMetaLearnedVI,
+    )
+
+    train, valid, test = provide_data(dataset, seed=seed)
+    if algo == "pacoh_map":
+        model = GPRegressionMetaLearned(
+            train, lr_params=config["lr"], weight_decay=config["weight_decay"],
+            feature_dim=int(config["feature_dim"]),
+            task_batch_size=int(config["task_batch_size"]),
+            num_iter_fit=n_iter, random_seed=seed,
+        )
+    elif algo == "pacoh_svgd":
+        model = GPRegressionMetaLearnedSVGD(
+            train, lr=config["lr"], prior_factor=config["prior_factor"],
+            bandwidth=config["bandwidth"], num_particles=int(config["num_particles"]),
+            num_iter_fit=n_iter, random_seed=seed,
+        )
+    elif algo == "pacoh_vi":
+        model = GPRegressionMetaLearnedVI(
+            train, lr=config["lr"], prior_factor=config["prior_factor"],
+            svi_batch_size=int(config["svi_batch_size"]),
+            num_iter_fit=n_iter, random_seed=seed,
+        )
+    else:
+        raise ValueError(algo)
+    model.meta_fit(verbose=False, log_period=n_iter)
+    ll, rmse, calib = model.eval_datasets(test[:n_eval_tasks])
+    return {"test_ll": ll, "test_rmse": rmse, "calib_err": calib}
+
+
+def main(argv):
+    algo, dataset = FLAGS.algo, FLAGS.dataset
+
+    def trial(config):
+        return build_and_eval(algo, config, dataset, seed=28,
+                              n_iter=FLAGS.n_iter_fit,
+                              n_eval_tasks=FLAGS.n_eval_tasks)
+
+    analysis = tune_run(
+        trial, search_space(algo), num_samples=FLAGS.num_samples,
+        metric="test_ll", mode="max", local_dir=FLAGS.local_dir,
+        name=f"{algo}_{dataset}", resume=FLAGS.resume,
+    )
+
+    best = select_best_configs(analysis, metric="test_ll", N=FLAGS.top_n)
+    print("top configs:", best)
+
+    # seeded re-evaluation of the best configs (ref :132-157)
+    rows = []
+    for rank, config in enumerate(best):
+        for seed in range(31, 31 + FLAGS.n_test_seeds):
+            metrics = build_and_eval(algo, config, dataset, seed=seed,
+                                     n_iter=FLAGS.n_iter_fit,
+                                     n_eval_tasks=FLAGS.n_eval_tasks)
+            rows.append({"rank": rank, "seed": seed, **config, **metrics})
+            print(rows[-1])
+    df = pd.DataFrame(rows)
+    out = os.path.join(FLAGS.local_dir, f"best_configs_{algo}_{dataset}.csv")
+    df.to_csv(out, index=False)
+    print(df.groupby("rank")[["test_ll", "test_rmse", "calib_err"]].agg(["mean", "std"]))
+
+
+if __name__ == "__main__":
+    app.run(main)

@@ -79,16 +79,21 @@ class RegressionModelBase:
         if flatten_y:
             assert y.shape[1] == 1
             y = y.flatten()
-        return jnp.asarray(x), jnp.asarray(y)
+        return x, y
 
     def _prepare_meta_data(self, meta_train_tuples):
-        """Stack, normalize, pad -> (X [T,N,D], Y [T,N], mask [T,N]) on device."""
+        """Stack, normalize, pad -> (X [T,N,D], Y [T,N], mask [T,N]).
+
+        Returned as HOST (numpy) arrays on purpose: training step closures
+        capture these as jit constants, and embedding a *device* array as an
+        MLIR constant forces a device->host readback that is pathologically
+        slow on tunneled TPU runtimes (tens of seconds per array)."""
         X, Y, mask = stack_task_tuples(meta_train_tuples)
         Xn = (X - self.x_mean[None, None, :]) / self.x_std[None, None, :]
         Yn = (Y - self.y_mean[0]) / self.y_std[0]
-        Xn = Xn * mask[..., None]
-        Yn = Yn * mask
-        return jnp.asarray(Xn), jnp.asarray(Yn), jnp.asarray(mask)
+        Xn = (Xn * mask[..., None]).astype(np.float32)
+        Yn = (Yn * mask).astype(np.float32)
+        return Xn, Yn, mask
 
     # -- metrics ---------------------------------------------------------------
     def _calib_error(self, pred_dist_vectorized, test_y):
@@ -113,6 +118,11 @@ class RegressionModelMetaLearned(RegressionModelBase):
         test_x, test_y = handle_input_dim(test_x, test_y)
         test_y_flat = test_y.flatten()
 
+        if not kwargs and getattr(self, "_batch_eval_fn", None) is not None:
+            stacked = self._stack_eval_tuples([(context_x, context_y, test_x, test_y)])
+            lls, rmses, calibs = self._run_batch_eval(*stacked)
+            return float(lls[0]), float(rmses[0]), float(calibs[0])
+
         pred_dist = self.predict(context_x, context_y, test_x, return_density=True, **kwargs)
         avg_ll = float(jnp.mean(pred_dist.log_prob(jnp.asarray(test_y_flat)))) / test_y_flat.shape[0]
         rmse = float(jnp.sqrt(jnp.mean((pred_dist.mean - test_y_flat) ** 2)))
@@ -120,12 +130,47 @@ class RegressionModelMetaLearned(RegressionModelBase):
         calib = self._calib_error(pred_dist_vect, test_y_flat)
         return avg_ll, rmse, calib
 
+    def _stack_eval_tuples(self, test_tuples):
+        """Stack uniform-shape test tuples into dense [T, ...] arrays:
+        (ctx_x_norm, ctx_y_norm, test_x_norm, test_y_raw) or None if ragged."""
+        prepared = []
+        for cx, cy, tx, ty in test_tuples:
+            cx, cy = handle_input_dim(cx, cy)
+            tx, ty = handle_input_dim(tx, ty)
+            prepared.append((cx, cy, tx, ty))
+        shapes = {(cx.shape, tx.shape) for cx, _, tx, _ in prepared}
+        if len(shapes) != 1:
+            return None
+        CX = np.stack([self._normalize_x(cx) for cx, _, _, _ in prepared])
+        CY = np.stack([
+            ((cy - self.y_mean[None, :]) / self.y_std[None, :]).flatten()
+            for _, cy, _, _ in prepared
+        ]).astype(np.float32)
+        TX = np.stack([self._normalize_x(tx) for _, _, tx, _ in prepared])
+        TY = np.stack([ty.flatten() for _, _, _, ty in prepared]).astype(np.float32)
+        return (jnp.asarray(CX), jnp.asarray(CY), jnp.asarray(TX), jnp.asarray(TY))
+
     def eval_datasets(self, test_tuples, **kwargs):
-        """Mean (ll, rmse, calib) over a list of (ctx_x, ctx_y, test_x, test_y)."""
+        """Mean (ll, rmse, calib) over a list of (ctx_x, ctx_y, test_x, test_y).
+
+        When all tuples share shapes and the learner provides a batched eval
+        function, the whole evaluation runs as ONE jitted vmap over tasks
+        (the reference loops tasks in Python, abstract.py:179)."""
         assert all(len(t) == 4 for t in test_tuples)
+        if not kwargs and getattr(self, "_batch_eval_fn", None) is not None:
+            stacked = self._stack_eval_tuples(test_tuples)
+            if stacked is not None:
+                lls, rmses, calibs = self._run_batch_eval(*stacked)
+                return (float(jnp.mean(lls)), float(jnp.mean(rmses)),
+                        float(jnp.mean(calibs)))
         results = [self.eval(*t, **kwargs) for t in test_tuples]
         ll, rmse, calib = zip(*results)
         return float(np.mean(ll)), float(np.mean(rmse)), float(np.mean(calib))
+
+    _batch_eval_fn = None
+
+    def _run_batch_eval(self, CX, CY, TX, TY):
+        raise NotImplementedError
 
     def confidence_intervals(self, context_x, context_y, test_x, confidence=0.9, **kwargs):
         pred_dist = self.predict(context_x, context_y, test_x, return_density=True, **kwargs)

@@ -102,7 +102,7 @@ class GPRegressionLearned(RegressionModel):
         self._plateau = ReduceLROnPlateau(factor=0.2 if lr_scheduler else 1.0)
         self._step_fn = self._build_step_fn()
         self._predict_fn = jax.jit(
-            lambda params, xt: gp_predict(self.cfg, params, self.train_x, self.train_t, xt)
+            lambda params, xc, yc, xt: gp_predict(self.cfg, params, xc, yc, xt)
         )
         self._step_count = 0
 
@@ -169,20 +169,19 @@ class GPRegressionLearned(RegressionModel):
     # ------------------------------------------------------------- train loop
     def _build_step_fn(self):
         cfg = self.cfg
-        x, y = self.train_x, self.train_t
         opt = self._opt
 
-        def single_step(carry, _):
-            params, opt_state = carry
-            loss, grads = jax.value_and_grad(
-                lambda p: -gp_prior_mll(cfg, p, x, y)
-            )(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, n_steps):
+        def run_chunk(params, opt_state, x, y, n_steps):
+            def single_step(carry, _):
+                params, opt_state = carry
+                loss, grads = jax.value_and_grad(
+                    lambda p: -gp_prior_mll(cfg, p, x, y)
+                )(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
             (params, opt_state), losses = jax.lax.scan(
                 single_step, (params, opt_state), None, length=n_steps
             )
@@ -200,7 +199,7 @@ class GPRegressionLearned(RegressionModel):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses = self._step_fn(
-                self.params, self.opt_state, chunk
+                self.params, self.opt_state, self.train_x, self.train_t, chunk
             )
             remaining -= chunk
             itr += chunk
@@ -227,7 +226,7 @@ class GPRegressionLearned(RegressionModel):
     def predict(self, test_x, return_density=False, **kwargs):
         test_x = handle_input_dim(test_x)
         test_xn = jnp.asarray(self._normalize_x(test_x))
-        mean, cov = self._predict_fn(self.params, test_xn)
+        mean, cov = self._predict_fn(self.params, self.train_x, self.train_t, test_xn)
         pred_dist = AffineTransformed(
             MultivariateNormal(mean, cov), self.y_mean[0], self.y_std[0]
         )

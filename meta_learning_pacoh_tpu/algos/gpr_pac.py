@@ -147,9 +147,10 @@ class GPRegressionLearnedPAC(RegressionModel):
         self.opt_state = self.opt_state._replace(inner_states=inner)
 
     # ------------------------------------------------------------- train loop
-    def _pac_loss(self, params):
+    def _pac_loss(self, params, x=None, y=None):
         cfg = self.cfg
-        x, y = self.train_x, self.train_t
+        if x is None:
+            x, y = self.train_x, self.train_t
         n = float(self.n_train_samples)
         gp_params = params["gp"]
         _, _, noise = gp_hypers(cfg, gp_params)
@@ -168,15 +169,17 @@ class GPRegressionLearnedPAC(RegressionModel):
     def _build_step_fn(self):
         opt = self._opt
 
-        def single_step(carry, _):
-            params, opt_state = carry
-            (loss, aux), grads = jax.value_and_grad(self._pac_loss, has_aux=True)(params)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, aux[0], aux[1])
-
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, n_steps):
+        def run_chunk(params, opt_state, x, y, n_steps):
+            def single_step(carry, _):
+                params, opt_state = carry
+                (loss, aux), grads = jax.value_and_grad(
+                    lambda p: self._pac_loss(p, x, y), has_aux=True
+                )(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, aux[0], aux[1])
+
             (params, opt_state), metrics = jax.lax.scan(
                 single_step, (params, opt_state), None, length=n_steps
             )
@@ -194,7 +197,7 @@ class GPRegressionLearnedPAC(RegressionModel):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, (losses, lls, kls) = self._step_fn(
-                self.params, self.opt_state, chunk
+                self.params, self.opt_state, self.train_x, self.train_t, chunk
             )
             remaining -= chunk
             itr += chunk
@@ -221,10 +224,9 @@ class GPRegressionLearnedPAC(RegressionModel):
     # ---------------------------------------------------------------- predict
     def _build_predict_fn(self):
         cfg = self.cfg
-        xc = self.train_x
 
         @jax.jit
-        def predict_fn(params, xt):
+        def predict_fn(params, xc, xt):
             gp_params = params["gp"]
             _, _, noise = gp_hypers(cfg, gp_params)
             mean_c = gp_mean(cfg, gp_params, xc)
@@ -244,7 +246,7 @@ class GPRegressionLearnedPAC(RegressionModel):
     def predict(self, test_x, return_density=False, **kwargs):
         test_x = handle_input_dim(test_x)
         test_xn = jnp.asarray(self._normalize_x(test_x))
-        mean, cov = self._predict_fn(self.params, test_xn)
+        mean, cov = self._predict_fn(self.params, self.train_x, test_xn)
         pred_dist = AffineTransformed(
             MultivariateNormal(mean, cov), self.y_mean[0], self.y_std[0]
         )

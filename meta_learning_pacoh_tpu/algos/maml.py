@@ -99,8 +99,7 @@ class MAMLRegression(RegressionModelMetaLearned):
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
-        X, Y = self.X, self.Y
-        n = X.shape[1]
+        n = self.X.shape[1]
         idx_split = math.ceil(n / 2.0)
         lr_inner, num_inner = self.lr_inner, self.num_inner_steps
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
@@ -112,7 +111,7 @@ class MAMLRegression(RegressionModelMetaLearned):
             adapted = inner_adapt(params, x1, y1, lr_inner, num_inner)
             return _mse(adapted, x2, y2)
 
-        def single_step(carry, key):
+        def single_step(carry, key, X, Y):
             params, opt_state = carry
             idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
             def meta_loss(p):
@@ -124,11 +123,15 @@ class MAMLRegression(RegressionModelMetaLearned):
             return (params, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+
+            def body(carry, key):
+                return single_step(carry, key, X, Y)
+
             (params, opt_state), losses = jax.lax.scan(
-                single_step, (params, opt_state), keys
+                body, (params, opt_state), keys
             )
             return params, opt_state, losses
 
@@ -144,7 +147,8 @@ class MAMLRegression(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses = self._step_fn(
-                self.params, self.opt_state, self._train_key, self._step_count, chunk
+                self.params, self.opt_state, self.X, self.Y,
+                self._train_key, self._step_count, chunk
             )
             remaining -= chunk
             itr += chunk

@@ -75,12 +75,11 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
-        X, Y = self.X, self.Y
         num_context = self.num_context
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         opt = self._opt
 
-        def single_step(carry, key):
+        def single_step(carry, key, X, Y):
             params, opt_state = carry
             k_task, k_split = jax.random.split(key)
             idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
@@ -98,11 +97,15 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
             return (params, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+
+            def body(carry, key):
+                return single_step(carry, key, X, Y)
+
             (params, opt_state), losses = jax.lax.scan(
-                single_step, (params, opt_state), keys
+                body, (params, opt_state), keys
             )
             return params, opt_state, losses
 
@@ -118,7 +121,8 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses = self._step_fn(
-                self.params, self.opt_state, self._train_key, self._step_count, chunk
+                self.params, self.opt_state, self.X, self.Y,
+                self._train_key, self._step_count, chunk
             )
             remaining -= chunk
             itr += chunk

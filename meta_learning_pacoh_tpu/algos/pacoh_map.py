@@ -94,6 +94,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self._setup_optimizer(optimizer, lr_params, lr_decay)
         self._step_fn = self._build_step_fn()
         self._predict_fn = self._build_predict_fn()
+        self._batch_eval_fn = self._build_batch_eval_fn()
         self._step_count = 0
 
     # ------------------------------------------------------------------ setup
@@ -150,10 +151,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         cfg = self.cfg
         batch_size = self.task_batch_size
         opt = self._opt
-        X, Y, M = self.X, self.Y, self.mask
         n_tasks = self.n_tasks
 
-        def single_step(carry, key):
+        def single_step(carry, key_X_Y_M):
+            key, X, Y, M = key_X_Y_M
             params, opt_state = carry
             idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
             xb, yb, mb = X[idx], Y[idx], M[idx]
@@ -168,11 +169,15 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             return (params, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, M, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+
+            def body(carry, key):
+                return single_step(carry, (key, X, Y, M))
+
             (params, opt_state), losses = jax.lax.scan(
-                single_step, (params, opt_state), keys
+                body, (params, opt_state), keys
             )
             return params, opt_state, losses
 
@@ -193,7 +198,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses = self._step_fn(
-                self.params, self.opt_state, self._train_key, self._step_count, chunk
+                self.params, self.opt_state, self.X, self.Y, self.mask,
+                self._train_key, self._step_count, chunk
             )
             remaining -= chunk
             itr += chunk
@@ -226,6 +232,26 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             return gp_predict(cfg, params, x_context, y_context, x_test)
 
         return predict_fn
+
+    def _build_batch_eval_fn(self):
+        cfg = self.cfg
+        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
+        from meta_learning_pacoh_tpu.ops.metrics import gp_eval_metrics
+
+        @jax.jit
+        def batch_eval(params, CX, CY, TX, TY):
+            def one(cx, cy, tx, ty):
+                mean, cov = gp_predict(cfg, params, cx, cy, tx)
+                return gp_eval_metrics(mean, cov, ty, y_mean, y_std)
+
+            # lax.map over tasks: compile cost is T-independent (one body),
+            # unlike vmap which inlines all T tasks into one giant XLA graph
+            return jax.lax.map(lambda args: one(*args), (CX, CY, TX, TY))
+
+        return batch_eval
+
+    def _run_batch_eval(self, CX, CY, TX, TY):
+        return self._batch_eval_fn(self.params, CX, CY, TX, TY)
 
     def predict(self, context_x, context_y, test_x, return_density=False):
         """Posterior-predictive p(y* | x*, context) in original y units."""

@@ -206,14 +206,13 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
-        X, Y = self.X, self.Y
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         svi = self.svi_batch_size
         opt = self._opt
         hyper_prior = self.hyper_prior
         meta_kl_weight = self.meta_kl_weight
 
-        def loss_fn(params, key, idx):
+        def loss_fn(params, key, idx, X, Y):
             theta = posterior_rsample(params["hyper_post"], key, svi)
             kl_outer_raw = posterior_kl_to_prior(params["hyper_post"], hyper_prior)
             kl_outer = meta_kl_weight * kl_outer_raw
@@ -238,23 +237,27 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             }
             return loss, diag
 
-        def single_step(carry, key):
+        def single_step(carry, key, X, Y):
             params, opt_state = carry
             k_task, k_theta = jax.random.split(key)
             idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
             (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, k_theta, idx
+                params, k_theta, idx, X, Y
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, diag)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+
+            def body(carry, key):
+                return single_step(carry, key, X, Y)
+
             (params, opt_state), (losses, diags) = jax.lax.scan(
-                single_step, (params, opt_state), keys
+                body, (params, opt_state), keys
             )
             return params, opt_state, losses, diags
 
@@ -273,7 +276,8 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses, diags = self._step_fn(
-                self.params, self.opt_state, self._train_key, self._step_count, chunk
+                self.params, self.opt_state, self.X, self.Y,
+                self._train_key, self._step_count, chunk
             )
             remaining -= chunk
             itr += chunk

@@ -88,6 +88,7 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
 
         self._step_fn = self._build_step_fn()
         self._predict_fn = self._build_predict_fn()
+        self._batch_eval_fn = self._build_batch_eval_fn()
         self._step_count = 0
 
     def _check_and_set_dims(self, meta_train_data):
@@ -103,11 +104,11 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
     def _build_step_fn(self):
         hyper_prior, prior_factor = self.hyper_prior, self.prior_factor
         kernel, bandwidth = self.svgd_kernel, self.bandwidth
-        X, Y, M = self.X, self.Y, self.mask
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         opt = self._opt
 
-        def single_step(carry, key):
+        def single_step(carry, key_X_Y_M):
+            key, X, Y, M = key_X_Y_M
             particles, opt_state = carry
             idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
             xb, yb, mb = X[idx], Y[idx], M[idx]
@@ -122,11 +123,15 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             return (particles, opt_state), jnp.mean(jnp.abs(phi))
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(particles, opt_state, base_key, start_step, n_steps):
+        def run_chunk(particles, opt_state, X, Y, M, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
+
+            def body(carry, key):
+                return single_step(carry, (key, X, Y, M))
+
             (particles, opt_state), phis = jax.lax.scan(
-                single_step, (particles, opt_state), keys
+                body, (particles, opt_state), keys
             )
             return particles, opt_state, phis
 
@@ -143,8 +148,10 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.particles, self.opt_state, _ = self._step_fn(
-                self.particles, self.opt_state, self._train_key, self._step_count, chunk
+                self.particles, self.opt_state, self.X, self.Y, self.mask,
+                self._train_key, self._step_count, chunk
             )
+            self.particles.block_until_ready()  # honest per-chunk timing
             remaining -= chunk
             itr += chunk
             self._step_count += chunk
@@ -176,6 +183,30 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             return means, covs  # [K, Nt], [K, Nt, Nt]
 
         return predict_fn
+
+    def _build_batch_eval_fn(self):
+        cfg, hyper_prior = self.cfg, self.hyper_prior
+        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
+        from meta_learning_pacoh_tpu.ops.metrics import mixture_eval_metrics
+
+        @jax.jit
+        def batch_eval(particles, CX, CY, TX, TY):
+            def one(cx, cy, tx, ty):
+                def per_particle(flat):
+                    params = hyper_prior.unravel(flat)
+                    return gp_predict(cfg, params, cx, cy, tx)
+
+                means, covs = jax.vmap(per_particle)(particles)
+                return mixture_eval_metrics(means, covs, ty, y_mean, y_std)
+
+            # lax.map over tasks: compile cost is T-independent (one body),
+            # unlike vmap which inlines all T tasks into one giant XLA graph
+            return jax.lax.map(lambda args: one(*args), (CX, CY, TX, TY))
+
+        return batch_eval
+
+    def _run_batch_eval(self, CX, CY, TX, TY):
+        return self._batch_eval_fn(self.particles, CX, CY, TX, TY)
 
     def predict(self, context_x, context_y, test_x, return_density=False):
         """Mixture-over-particles posterior predictive, in original y units."""

@@ -91,6 +91,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
 
         self._step_fn = self._build_step_fn()
         self._predict_fn = self._build_predict_fn()
+        self._batch_eval_fn = self._build_batch_eval_fn()
         self._step_count = 0
 
     def _check_and_set_dims(self, meta_train_data):
@@ -106,7 +107,6 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
     def _build_step_fn(self):
         hyper_prior, prior_factor = self.hyper_prior, self.prior_factor
         svi_batch_size = self.svi_batch_size
-        X, Y, M = self.X, self.Y, self.mask
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         opt = self._opt
 
@@ -122,7 +122,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             elbo = jnp.mean(lp) + prior_factor * posterior_entropy(post)
             return -elbo
 
-        def single_step(carry, key):
+        def single_step(carry, key, X, Y, M):
             post, opt_state = carry
             k_task, k_sample = jax.random.split(key)
             idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
@@ -133,10 +133,14 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             return (post, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(post, opt_state, base_key, start_step, n_steps):
+        def run_chunk(post, opt_state, X, Y, M, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
-            (post, opt_state), losses = jax.lax.scan(single_step, (post, opt_state), keys)
+
+            def body(carry, key):
+                return single_step(carry, key, X, Y, M)
+
+            (post, opt_state), losses = jax.lax.scan(body, (post, opt_state), keys)
             return post, opt_state, losses
 
         return run_chunk
@@ -153,7 +157,8 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.posterior, self.opt_state, losses = self._step_fn(
-                self.posterior, self.opt_state, self._train_key, self._step_count, chunk
+                self.posterior, self.opt_state, self.X, self.Y, self.mask,
+                self._train_key, self._step_count, chunk
             )
             remaining -= chunk
             itr += chunk
@@ -195,6 +200,32 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             return gp_predict(cfg, params, x_context, y_context, x_test)
 
         return predict_bayes, predict_map
+
+    def _build_batch_eval_fn(self, n_posterior_samples=100):
+        cfg, hyper_prior = self.cfg, self.hyper_prior
+        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
+        from meta_learning_pacoh_tpu.ops.metrics import mixture_eval_metrics
+
+        @jax.jit
+        def batch_eval(post, key, CX, CY, TX, TY):
+            # one shared set of posterior samples across all eval tasks
+            samples = posterior_rsample(post, key, n_posterior_samples)
+
+            def one(cx, cy, tx, ty):
+                def per_sample(flat):
+                    params = hyper_prior.unravel(flat)
+                    return gp_predict(cfg, params, cx, cy, tx)
+
+                means, covs = jax.vmap(per_sample)(samples)
+                return mixture_eval_metrics(means, covs, ty, y_mean, y_std)
+
+            # lax.map over tasks: compile cost is T-independent
+            return jax.lax.map(lambda args: one(*args), (CX, CY, TX, TY))
+
+        return batch_eval
+
+    def _run_batch_eval(self, CX, CY, TX, TY):
+        return self._batch_eval_fn(self.posterior, self._next_key(), CX, CY, TX, TY)
 
     def predict(self, context_x, context_y, test_x, n_posterior_samples=100,
                 mode="Bayes", return_density=False):

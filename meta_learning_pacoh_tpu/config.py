@@ -20,9 +20,12 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # (reference: meta_learn/abstract.py:109); Cholesky stability also wants f32.
 DTYPE = "float32"
 
-# Largest matrix edge for which the single-block Pallas Cholesky kernel is
-# used; beyond this, XLA's blocked factorization takes over.
-PALLAS_CHOL_MAX_N = 512
+# Matrix-edge window where the Pallas Cholesky kernels beat XLA's
+# factorization (measured on v5e: below 32 the per-call kernel-launch cost
+# loses to XLA's inlined op inside compiled scans; above 64 the lane-parallel
+# [N, N, 128] working set outgrows VMEM).
+PALLAS_CHOL_MIN_N = 32
+PALLAS_CHOL_MAX_N = 64
 
 
 def _env_flag(name, default=False):

@@ -74,18 +74,26 @@ class HyperPrior:
 
 
 def make_hyper_prior(cfg: GPConfig, weight_prior_std=1.0, bias_prior_std=3.0):
-    """Build the block hyper-prior aligned with the flat parameter layout."""
-    template = init_gp_params(cfg, jax.random.PRNGKey(0))
+    """Build the block hyper-prior aligned with the flat parameter layout.
+
+    Deliberately zero-device: the template comes from `jax.eval_shape` (no
+    RNG execution) and the loc/scale blocks are numpy, so constructing a
+    learner never forces a device readback (on tunneled TPU runtimes the
+    first device->host sync of a process can stall for minutes)."""
+    import numpy as np
+
+    shapes = jax.eval_shape(lambda: init_gp_params(cfg, jax.random.PRNGKey(0)))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), shapes)
     _, unravel = ravel_pytree(template)
 
     def block_loc_scale(path_name, leaf):
         if path_name == "noise_raw":
-            return jnp.full_like(leaf, -1.0), jnp.ones_like(leaf)
+            return np.full_like(leaf, -1.0), np.ones_like(leaf)
         if path_name in ("constant_mean", "lengthscale_raw", "outputscale_raw"):
-            return jnp.zeros_like(leaf), jnp.ones_like(leaf)
+            return np.zeros_like(leaf), np.ones_like(leaf)
         # NN leaves: keys look like ('mean_nn'|'kernel_nn', 'w_*'|'b_*')
         std = weight_prior_std if path_name.startswith("w_") else bias_prior_std
-        return jnp.zeros_like(leaf), jnp.full_like(leaf, std)
+        return np.zeros_like(leaf), np.full_like(leaf, std)
 
     loc_tree = {}
     scale_tree = {}
@@ -102,9 +110,11 @@ def make_hyper_prior(cfg: GPConfig, weight_prior_std=1.0, bias_prior_std=3.0):
             loc_tree[name] = l
             scale_tree[name] = s
 
-    loc_flat, _ = ravel_pytree(loc_tree)
-    scale_flat, _ = ravel_pytree(scale_tree)
-    return HyperPrior(loc=loc_flat, scale=scale_flat, unravel=unravel, cfg=cfg)
+    loc_flat = np.concatenate([a.ravel() for a in jax.tree.leaves(loc_tree)])
+    scale_flat = np.concatenate([a.ravel() for a in jax.tree.leaves(scale_tree)])
+    return HyperPrior(loc=loc_flat.astype(np.float32),
+                      scale=scale_flat.astype(np.float32),
+                      unravel=unravel, cfg=cfg)
 
 
 def task_mll_flat(hyper_prior: HyperPrior, flat_params, x, y, mask=None):

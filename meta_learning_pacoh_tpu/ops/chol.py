@@ -20,7 +20,8 @@ def _cholesky_impl(a):
     n = a.shape[-1]
     if (
         config.pallas_enabled()
-        and n <= config.PALLAS_CHOL_MAX_N
+        and config.PALLAS_CHOL_MIN_N <= n <= config.PALLAS_CHOL_MAX_N
+        and a.ndim >= 3  # the lane-parallel kernel needs a batch to fill lanes
         and a.dtype == jnp.float32
     ):
         from meta_learning_pacoh_tpu.ops.pallas.chol_kernel import cholesky_pallas

@@ -76,6 +76,15 @@ def imq_phi(particles, score, alpha=0.5, beta=-0.5, bandwidth=None):
 
 def svgd_phi(particles, score, kernel="RBF", bandwidth=None):
     if kernel == "RBF":
+        if bandwidth is None:
+            from meta_learning_pacoh_tpu import config
+
+            if config.pallas_enabled():
+                from meta_learning_pacoh_tpu.ops.pallas.svgd_kernel import (
+                    svgd_phi_fused,
+                )
+
+                return svgd_phi_fused(particles, score)
         return rbf_phi(particles, score, bandwidth=bandwidth)
     elif kernel == "IMQ":
         return imq_phi(particles, score, bandwidth=bandwidth)

@@ -1,0 +1,274 @@
+"""Hyperparameter tuning: search spaces, a TPE suggester, and a trial runner
+with experiment-state checkpoint/resume.
+
+Owns the role of the reference's vendored ray-tune (reference: custom_tune/ —
+`tune.run` tune.py:59, the TrialRunner event loop with experiment_state-*.json
+checkpoints and failure handling trial_runner.py:80-554, and the HyperOptSearch
+TPE suggester hyperopt_wrapper.py:32-273) without a Ray cluster: trials are
+plain Python calls (optionally subprocess fan-out via AsyncExecutor at the
+script layer), the TPE is a compact Parzen-estimator implementation, and the
+experiment state is a single JSON file that `resume=True` continues from.
+"""
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# search space
+# --------------------------------------------------------------------------
+
+
+class Uniform:
+    def __init__(self, low, high):
+        self.low, self.high = float(low), float(high)
+
+    def sample(self, rs):
+        return float(rs.uniform(self.low, self.high))
+
+    def to_unit(self, v):
+        return (v - self.low) / (self.high - self.low)
+
+    def from_unit(self, u):
+        return self.low + u * (self.high - self.low)
+
+
+class LogUniform(Uniform):
+    def __init__(self, low, high):
+        super().__init__(math.log(low), math.log(high))
+
+    def sample(self, rs):
+        return float(math.exp(rs.uniform(self.low, self.high)))
+
+    def to_unit(self, v):
+        return (math.log(v) - self.low) / (self.high - self.low)
+
+    def from_unit(self, u):
+        return math.exp(self.low + u * (self.high - self.low))
+
+
+class Choice:
+    def __init__(self, options):
+        self.options = list(options)
+
+    def sample(self, rs):
+        return self.options[rs.randint(len(self.options))]
+
+
+class Randint:
+    def __init__(self, low, high):
+        self.low, self.high = int(low), int(high)
+
+    def sample(self, rs):
+        return int(rs.randint(self.low, self.high))
+
+
+def sample_config(space, rs):
+    return {k: dist.sample(rs) for k, dist in space.items()}
+
+
+# --------------------------------------------------------------------------
+# TPE suggester (Parzen estimators, hyperopt-style)
+# --------------------------------------------------------------------------
+
+
+class TPESuggest:
+    """Tree-structured Parzen Estimator over a flat search space.
+
+    After `n_startup` random trials, splits observations at the `gamma`
+    quantile of the metric; per continuous dimension builds Gaussian Parzen
+    densities l(x) (good) / g(x) (rest) in unit space, draws candidates from
+    l and keeps the candidate maximizing l/g. Categorical dimensions use
+    smoothed frequency ratios.
+    """
+
+    def __init__(self, space, metric, mode="max", n_startup=20, gamma=0.25,
+                 n_candidates=24, seed=0):
+        assert mode in ("max", "min")
+        self.space, self.metric, self.mode = space, metric, mode
+        self.n_startup, self.gamma, self.n_candidates = n_startup, gamma, n_candidates
+        self.rs = np.random.RandomState(seed)
+        self.observations = []  # (config, value)
+
+    def tell(self, config, value):
+        if value is not None and np.isfinite(value):
+            self.observations.append((config, float(value)))
+
+    def _split(self):
+        vals = np.array([v for _, v in self.observations])
+        order = np.argsort(vals)
+        if self.mode == "max":
+            order = order[::-1]
+        n_good = max(1, int(np.ceil(self.gamma * len(vals))))
+        good_idx = set(order[:n_good].tolist())
+        good = [self.observations[i][0] for i in good_idx]
+        rest = [c for i, (c, _) in enumerate(self.observations) if i not in good_idx]
+        return good, rest
+
+    @staticmethod
+    def _parzen_logpdf(u, centers, bw):
+        if len(centers) == 0:
+            return 0.0
+        z = (u - np.asarray(centers)) / bw
+        log_k = -0.5 * z**2 - math.log(bw * math.sqrt(2 * math.pi))
+        return float(np.logaddexp.reduce(log_k) - math.log(len(centers)))
+
+    def suggest(self):
+        if len(self.observations) < self.n_startup:
+            return sample_config(self.space, self.rs)
+
+        good, rest = self._split()
+        config = {}
+        for name, dist in self.space.items():
+            if isinstance(dist, (Choice, Randint)):
+                options = dist.options if isinstance(dist, Choice) else \
+                    list(range(dist.low, dist.high))
+                counts_g = np.array(
+                    [sum(1 for c in good if c[name] == o) for o in options], float
+                ) + 1.0
+                counts_r = np.array(
+                    [sum(1 for c in rest if c[name] == o) for o in options], float
+                ) + 1.0
+                score = counts_g / counts_g.sum() / (counts_r / counts_r.sum())
+                probs = score / score.sum()
+                config[name] = options[self.rs.choice(len(options), p=probs)]
+            else:
+                centers_g = [dist.to_unit(c[name]) for c in good]
+                centers_r = [dist.to_unit(c[name]) for c in rest]
+                bw = max(0.05, 1.0 / max(2, len(centers_g)))
+                best_u, best_score = None, -np.inf
+                for _ in range(self.n_candidates):
+                    if centers_g and self.rs.rand() < 0.8:
+                        u = float(np.clip(
+                            centers_g[self.rs.randint(len(centers_g))]
+                            + bw * self.rs.randn(), 0.0, 1.0,
+                        ))
+                    else:
+                        u = float(self.rs.rand())
+                    score = (self._parzen_logpdf(u, centers_g, bw)
+                             - self._parzen_logpdf(u, centers_r, bw))
+                    if score > best_score:
+                        best_u, best_score = u, score
+                config[name] = dist.from_unit(best_u)
+        return config
+
+
+class RandomSuggest:
+    def __init__(self, space, seed=0, **_):
+        self.space = space
+        self.rs = np.random.RandomState(seed)
+
+    def tell(self, config, value):
+        pass
+
+    def suggest(self):
+        return sample_config(self.space, self.rs)
+
+
+# --------------------------------------------------------------------------
+# trial runner
+# --------------------------------------------------------------------------
+
+
+class Analysis:
+    """Completed-trial table with dataframe/selection helpers."""
+
+    def __init__(self, trials):
+        self.trials = trials
+
+    def dataframe(self):
+        import pandas as pd
+
+        rows = []
+        for t in self.trials:
+            row = {f"config/{k}": v for k, v in t["config"].items()}
+            row.update(t.get("last_result") or {})
+            row["status"] = t["status"]
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    def best_configs(self, metric, mode="max", n=5):
+        """Top-n configs by final metric (reference:
+        experiments/hyperparam_search/util.py:5-41)."""
+        done = [t for t in self.trials
+                if t["status"] == "DONE" and t.get("last_result")
+                and np.isfinite(t["last_result"].get(metric, np.nan))]
+        key = lambda t: t["last_result"][metric]
+        done.sort(key=key, reverse=(mode == "max"))
+        return [t["config"] for t in done[:n]]
+
+
+def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
+             search_alg="tpe", seed=0, local_dir="./tune_out", name="tune",
+             max_failures=3, resume=False, verbose=True):
+    """Run `num_samples` trials of trial_fn(config) suggested over `space`.
+
+    trial_fn returns a metrics dict, or yields metric dicts for periodic
+    reporting (the last yield is the trial's final result). Failures are
+    recorded (status ERROR) and retried up to `max_failures` times with a
+    fresh suggestion. State is checkpointed to
+    `<local_dir>/experiment_state-<name>.json` after every trial; resume=True
+    continues from it.
+    """
+    os.makedirs(local_dir, exist_ok=True)
+    state_path = os.path.join(local_dir, f"experiment_state-{name}.json")
+
+    suggester_cls = {"tpe": TPESuggest, "random": RandomSuggest}[search_alg]
+    suggester = suggester_cls(space, metric=metric, mode=mode, seed=seed)
+
+    trials = []
+    if resume and os.path.exists(state_path):
+        with open(state_path) as f:
+            trials = json.load(f)["trials"]
+        for t in trials:
+            if t["status"] == "DONE" and t.get("last_result"):
+                suggester.tell(t["config"], t["last_result"].get(metric))
+        if verbose:
+            print(f"resumed {len(trials)} trials from {state_path}")
+
+    def checkpoint():
+        with open(state_path, "w") as f:
+            json.dump({"trials": trials, "timestamp": time.time()}, f, default=str)
+
+    failures = 0
+    while len([t for t in trials if t["status"] == "DONE"]) < num_samples:
+        config = suggester.suggest()
+        trial = {"config": config, "status": "RUNNING", "last_result": None,
+                 "history": []}
+        trials.append(trial)
+        t0 = time.time()
+        try:
+            result = trial_fn(dict(config))
+            if hasattr(result, "__iter__") and not isinstance(result, dict):
+                for report in result:
+                    trial["history"].append(report)
+                    trial["last_result"] = report
+            else:
+                trial["last_result"] = result
+            trial["status"] = "DONE"
+            trial["duration"] = time.time() - t0
+            suggester.tell(config, (trial["last_result"] or {}).get(metric))
+            if verbose:
+                n_done = len([t for t in trials if t["status"] == "DONE"])
+                print(f"[tune {name}] trial {n_done}/{num_samples} "
+                      f"{metric}={ (trial['last_result'] or {}).get(metric) } "
+                      f"({trial['duration']:.1f}s)")
+        except Exception as e:  # failure handling (ref trial_runner.py:494)
+            trial["status"] = "ERROR"
+            trial["error"] = repr(e)
+            failures += 1
+            if verbose:
+                print(f"[tune {name}] trial failed: {e!r} ({failures}/{max_failures})")
+            if failures > max_failures:
+                checkpoint()
+                raise
+        checkpoint()
+
+    return Analysis(trials)
+
+
+def select_best_configs(analysis, metric="test_ll", mode="max", N=5):
+    return analysis.best_configs(metric, mode=mode, n=N)

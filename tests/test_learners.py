@@ -185,7 +185,9 @@ class TestPACOHVI:
         train, _ = sin_data
         m = GPRegressionMetaLearnedVI(train, num_iter_fit=200, random_seed=1,
                                       svi_batch_size=5, cov_type="diag")
-        _, _, losses_before = m._step_fn(m.posterior, m.opt_state, m._train_key, 0, 5)
+        _, _, losses_before = m._step_fn(
+            m.posterior, m.opt_state, m.X, m.Y, m.mask, m._train_key, 0, 5
+        )
         final_loss = m.meta_fit(verbose=False, log_period=200)
         assert final_loss < float(np.mean(np.asarray(losses_before)))
 

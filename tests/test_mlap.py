@@ -30,7 +30,9 @@ class TestMLAP:
         m = GPRegressionMetaLearnedPAC(train, num_iter_fit=300, random_seed=1,
                                        covar_module="NN", mean_module="NN",
                                        meta_kl_weight=1e-3, svi_batch_size=3)
-        _, _, losses0, _ = m._step_fn(m.params, m.opt_state, m._train_key, 0, 5)
+        _, _, losses0, _ = m._step_fn(
+            m.params, m.opt_state, m.X, m.Y, m._train_key, 0, 5
+        )
         loss, diag = m.meta_fit(verbose=False, log_period=300)
         assert np.isfinite(loss)
         assert loss < float(np.mean(np.asarray(losses0)))
