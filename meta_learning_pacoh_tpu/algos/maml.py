@@ -51,8 +51,7 @@ class MAMLRegression(RegressionModelMetaLearned):
         self._check_and_set_dims(meta_train_data)
         self._compute_normalization_stats(meta_train_data)
         X, Y, mask = self._prepare_meta_data(meta_train_data)
-        assert float(jnp.min(mask)) == 1.0, "MAML requires equal-size tasks"
-        self.X, self.Y = X, Y
+        self.X, self.Y, self.mask = X, Y, mask
         self.n_tasks = X.shape[0]
 
         self.lr_inner = lr_inner
@@ -100,22 +99,39 @@ class MAMLRegression(RegressionModelMetaLearned):
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
         n = self.X.shape[1]
-        idx_split = math.ceil(n / 2.0)
         lr_inner, num_inner = self.lr_inner, self.num_inner_steps
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         opt = self._opt
+        # per-task split index = ceil(n_i / 2) over REAL points (ragged tasks
+        # keep their real points first; reference splits by order, MAML.py:203)
+        split_arr = jnp.asarray(np.ceil(self.mask.sum(axis=1) / 2.0).astype(np.int32))
+        mask_all = jnp.asarray(self.mask)
 
-        def task_loss(params, x, y):
-            x1, y1 = x[:idx_split], y[:idx_split]
-            x2, y2 = x[idx_split:], y[idx_split:]
-            adapted = inner_adapt(params, x1, y1, lr_inner, num_inner)
-            return _mse(adapted, x2, y2)
+        def task_loss(params, x, y, m, split):
+            pos = jnp.arange(n)
+            w1 = ((pos < split).astype(x.dtype) * m)[:, None]
+            w2 = ((pos >= split).astype(x.dtype) * m)[:, None]
+
+            def winner_mse(p):
+                err = (mlp_apply(p, x) - y) ** 2 * w1
+                return jnp.sum(err) / jnp.maximum(jnp.sum(w1 * jnp.ones_like(y)), 1.0)
+
+            def step(p, _):
+                grads = jax.grad(winner_mse)(p)
+                p = jax.tree.map(lambda wt, g: wt - lr_inner * g, p, grads)
+                return p, None
+
+            adapted, _ = jax.lax.scan(step, params, None, length=num_inner)
+            err2 = (mlp_apply(adapted, x) - y) ** 2 * w2
+            return jnp.sum(err2) / jnp.maximum(jnp.sum(w2 * jnp.ones_like(y)), 1.0)
 
         def single_step(carry, key, X, Y):
             params, opt_state = carry
             idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
             def meta_loss(p):
-                losses = jax.vmap(lambda x, y: task_loss(p, x, y))(X[idx], Y[idx])
+                losses = jax.vmap(
+                    lambda x, y, m, sp: task_loss(p, x, y, m, sp)
+                )(X[idx], Y[idx], mask_all[idx], split_arr[idx])
                 return jnp.mean(losses)
             loss, grads = jax.value_and_grad(meta_loss)(params)
             updates, opt_state = opt.update(grads, opt_state, params)

@@ -42,11 +42,15 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         self._check_and_set_dims(meta_train_data)
         self._compute_normalization_stats(meta_train_data)
         X, Y, mask = self._prepare_meta_data(meta_train_data)
-        assert float(jnp.min(mask)) == 1.0, "NP learner requires equal-size tasks"
-        self.X, self.Y = X, Y[..., None]  # y kept 2-D per point
+        self.X, self.Y, self.mask = X, Y[..., None], mask  # y kept 2-D per point
         self.n_tasks, n_samples = X.shape[0], X.shape[1]
 
-        self.num_context = math.ceil(context_split_ratio * n_samples)
+        # per-task context sizes (tasks may be ragged, reference NPR_meta.py:74-76)
+        n_per_task = mask.sum(axis=1)
+        self.num_context_per_task = np.ceil(
+            context_split_ratio * n_per_task
+        ).astype(np.int32)
+        self.num_context = int(self.num_context_per_task[0])
         self.num_iter_fit = num_iter_fit
         self.task_batch_size = task_batch_size
 
@@ -75,8 +79,9 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
-        num_context = self.num_context
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        num_context_arr = jnp.asarray(self.num_context_per_task)
+        mask_all = self.mask
         opt = self._opt
 
         def single_step(carry, key, X, Y):
@@ -87,8 +92,9 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
             def loss_fn(p):
                 keys = jax.random.split(k_split, batch_size)
                 losses = jax.vmap(
-                    lambda k, x, y: np_elbo_loss(p, k, x, y, num_context)
-                )(keys, X[idx], Y[idx])
+                    lambda k, x, y, nc, m: np_elbo_loss(p, k, x, y, nc, mask=m)
+                )(keys, X[idx], Y[idx], num_context_arr[idx],
+                  jnp.asarray(mask_all)[idx])
                 return jnp.sum(losses)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

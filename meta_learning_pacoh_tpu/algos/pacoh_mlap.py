@@ -408,18 +408,52 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         return np.asarray(pred_dist.mean), np.asarray(pred_dist.stddev)
 
     def eval_datasets(self, test_tuples, n_iter_meta_test=3000, **kwargs):
-        """Meta-test inference for ALL tasks in one vmapped scan, then eval."""
+        """Meta-test inference for ALL tasks in one vmapped scan, then one
+        jitted lax.map for all predictive metrics."""
         assert all(len(t) == 4 for t in test_tuples)
-        from meta_learning_pacoh_tpu.algos.base import calib_error
+        from meta_learning_pacoh_tpu.ops.metrics import gp_eval_metrics
 
         context_tuples = [t[:2] for t in test_tuples]
         task_state = self._meta_test_inference(context_tuples, n_iter=n_iter_meta_test)
 
+        test_prepared = [handle_input_dim(tx, ty) for _, _, tx, ty in test_tuples]
+        if len({tx.shape for tx, _ in test_prepared}) == 1:
+            TX = jnp.stack([jnp.asarray(self._normalize_x(tx)) for tx, _ in test_prepared])
+            TY = jnp.stack([jnp.asarray(ty.flatten()) for _, ty in test_prepared])
+            y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
+            noise_var = self._noise_var(self.params["raw_noise"])
+            theta, Xc = task_state["theta_agg"], task_state["Xc"]
+            nc = Xc.shape[1]
+
+            @jax.jit
+            def batch_metrics(q_means, q_trils, tx_all, ty_all):
+                def one(args):
+                    xc, qm, qt, tx, ty = args
+                    x_all = jnp.concatenate([xc, tx], axis=0)
+                    mean_all, cov_all = self._prior_moments(theta, x_all)
+                    m, c = svgp_predict(
+                        qm, jnp.tril(qt), mean_all[:nc], cov_all[:nc, :nc],
+                        cov_all[:nc, nc:], mean_all[nc:], cov_all[nc:, nc:],
+                    )
+                    c = c + noise_var * jnp.eye(c.shape[-1])
+                    return gp_eval_metrics(m, c, ty, y_mean, y_std)
+
+                return jax.lax.map(
+                    one, (Xc, q_means, q_trils, tx_all, ty_all)
+                )
+
+            lls, rmses, calibs = batch_metrics(
+                task_state["q_means"], task_state["q_trils"], TX, TY
+            )
+            return (float(jnp.mean(lls)), float(jnp.mean(rmses)),
+                    float(jnp.mean(calibs)))
+
+        from meta_learning_pacoh_tpu.algos.base import calib_error
+
         lls, rmses, calibs = [], [], []
-        for i, (_, _, test_x, test_y) in enumerate(test_tuples):
-            test_x, test_y = handle_input_dim(test_x, test_y)
-            test_y_flat = test_y.flatten()
-            test_xn = jnp.asarray(self._normalize_x(test_x))
+        for i, (tx, ty) in enumerate(test_prepared):
+            test_y_flat = ty.flatten()
+            test_xn = jnp.asarray(self._normalize_x(tx))
             mean, cov = self._predictive(task_state, i, test_xn)
             pred_dist = AffineTransformed(
                 MultivariateNormal(mean, cov), self.y_mean[0], self.y_std[0]

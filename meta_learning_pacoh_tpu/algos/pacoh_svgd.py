@@ -49,7 +49,10 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
                  covar_module="NN", mean_module="NN", mean_nn_layers=(32, 32),
                  kernel_nn_layers=(32, 32), optimizer="Adam", lr=1e-3, lr_decay=1.0,
                  kernel="RBF", bandwidth=None, num_particles=10, task_batch_size=-1,
-                 normalize_data=True, random_seed=None):
+                 normalize_data=True, random_seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis — full-batch
+        training shards the meta-task tensor across devices (data parallel
+        over tasks; requires task_batch_size=-1)."""
         super().__init__(normalize_data, random_seed)
 
         assert mean_module in ["NN", "constant"]
@@ -70,6 +73,17 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             self.task_batch_size = self.n_tasks
         else:
             self.task_batch_size = min(task_batch_size, self.n_tasks)
+
+        self._mesh = mesh
+        if mesh is not None:
+            assert self.task_batch_size == self.n_tasks, (
+                "mesh-sharded training requires task_batch_size=-1 (full batch)"
+            )
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            self.X, self.Y, self.mask = shard_task_batch(
+                mesh, self.X, self.Y, self.mask
+            )
 
         self.cfg = random_gp_config(
             self.input_dim, feature_dim=feature_dim, mean_module=mean_module,
@@ -105,13 +119,20 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         hyper_prior, prior_factor = self.hyper_prior, self.prior_factor
         kernel, bandwidth = self.svgd_kernel, self.bandwidth
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        full_batch = batch_size == n_tasks
         opt = self._opt
 
         def single_step(carry, key_X_Y_M):
             key, X, Y, M = key_X_Y_M
             particles, opt_state = carry
-            idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
-            xb, yb, mb = X[idx], Y[idx], M[idx]
+            if full_batch:
+                # no task subsampling: the task axis stays contiguous, so a
+                # mesh-sharded [T, N, D] shards cleanly across chips (the
+                # per-task MLL sum becomes an XLA psum over the task axis)
+                xb, yb, mb = X, Y, M
+            else:
+                idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+                xb, yb, mb = X[idx], Y[idx], M[idx]
 
             def total_log_prob(p):
                 return jnp.sum(meta_log_prob(hyper_prior, prior_factor, p, xb, yb, mb))

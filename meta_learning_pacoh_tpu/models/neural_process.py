@@ -52,13 +52,20 @@ def init_np_params(key, x_dim, y_dim, r_dim=50, z_dim=50, h_dim=50):
     return p
 
 
-def np_encode(params, x, y):
-    """(x [N, Dx], y [N, Dy]) -> (mu_z, sigma_z) of the latent."""
+def np_encode(params, x, y, mask=None):
+    """(x [N, Dx], y [N, Dy]) -> (mu_z, sigma_z) of the latent.
+
+    mask [N] (1=real, 0=padding) makes the mean-aggregation ignore padded
+    points, so ragged task sets (e.g. Physionet) ride the same static shapes.
+    """
     h = jnp.concatenate([x, y], axis=-1)
     h = jax.nn.relu(_linear(params, "enc_0", h))
     h = jax.nn.relu(_linear(params, "enc_1", h))
     r_i = _linear(params, "enc_2", h)  # [N, r]
-    r = jnp.mean(r_i, axis=0)  # aggregate
+    if mask is None:
+        r = jnp.mean(r_i, axis=0)
+    else:
+        r = jnp.sum(r_i * mask[:, None], axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
     hidden = jax.nn.relu(r @ params["w_rh"] + params["b_rh"])
     mu = hidden @ params["w_rmu"] + params["b_rmu"]
     sigma = 0.1 + 0.9 * jax.nn.sigmoid(hidden @ params["w_rsig"] + params["b_rsig"])
@@ -77,24 +84,34 @@ def np_decode(params, x, z):
     return mu, sigma
 
 
-def np_elbo_loss(params, key, x, y, num_context):
+def np_elbo_loss(params, key, x, y, num_context, mask=None):
     """Per-task NP training loss (reference: NPR_meta.py:228-252):
     -sum log p(y_target | z~q_target) + sum KL(q_target || q_context),
-    context = first num_context of a shuffled target set (= all points).
+    context = first num_context of a shuffled target set (= all real points).
+
+    mask [N] marks real points; num_context may be a traced per-task scalar.
+    Padded points are shuffled to the back, excluded from both encoders and
+    the log-likelihood.
     """
     n = x.shape[0]
-    perm = jax.random.permutation(key, n)
-    x_t, y_t = x[perm], y[perm]
-    x_c, y_c = x_t[:num_context], y_t[:num_context]
+    if mask is None:
+        mask = jnp.ones((n,), x.dtype)
+    # random order among REAL points, padding pushed to the back
+    scores = jax.random.uniform(key, (n,)) + (1.0 - mask) * 10.0
+    perm = jnp.argsort(scores)
+    x_t, y_t, m_t = x[perm], y[perm], mask[perm]
+    ctx_mask = (jnp.arange(n) < num_context).astype(x.dtype) * m_t
 
-    mu_t, sig_t = np_encode(params, x_t, y_t)
-    mu_c, sig_c = np_encode(params, x_c, y_c)
+    mu_t, sig_t = np_encode(params, x_t, y_t, mask=m_t)
+    mu_c, sig_c = np_encode(params, x_t, y_t, mask=ctx_mask)
     z = mu_t + sig_t * jax.random.normal(jax.random.fold_in(key, 1), mu_t.shape)
     mu_y, sig_y = np_decode(params, x_t, z)
 
     log_lik = jnp.sum(
-        -0.5 * (((y_t - mu_y) / sig_y) ** 2) - jnp.log(sig_y)
-        - 0.5 * jnp.log(2.0 * jnp.pi)
+        m_t[:, None] * (
+            -0.5 * (((y_t - mu_y) / sig_y) ** 2) - jnp.log(sig_y)
+            - 0.5 * jnp.log(2.0 * jnp.pi)
+        )
     )
     kl = jnp.sum(
         jnp.log(sig_c) - jnp.log(sig_t)

@@ -61,6 +61,69 @@ def _cholesky_bwd(L, L_bar):
 cholesky.defvjp(_cholesky_fwd, _cholesky_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fully-unrolled factorization for tiny N: XLA lowers cholesky/triangular-
+# solve HLOs to while-loops whose fixed overhead dwarfs the O(N^3) arithmetic
+# at N <= ~8. Unrolling to plain expressions lets XLA fuse the whole GP MLL
+# into one kernel; under vmap each scalar step becomes a [batch]-wide VPU op.
+# Autodiff flows through the expressions directly (no custom VJP needed).
+# ---------------------------------------------------------------------------
+
+UNROLL_MAX_N = 8
+
+
+def unrolled_cholesky(a):
+    """Cholesky of [..., N, N] for small static N via unrolled Banachiewicz."""
+    n = a.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    zero = jnp.zeros_like(a[..., 0, 0])
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def unrolled_solve_lower(L, b):
+    """Solve L x = b (L lower-triangular [..., N, N], b [..., N]), unrolled."""
+    n = b.shape[-1]
+    x = []
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[..., i, k] * x[k]
+        x.append(s / L[..., i, i])
+    return jnp.stack(x, axis=-1)
+
+
+def unrolled_solve_lower_T(L, b):
+    """Solve L^T x = b (back-substitution on the transposed lower factor)."""
+    n = b.shape[-1]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = b[..., i]
+        for k in range(i + 1, n):
+            s = s - L[..., k, i] * x[k]
+        x[i] = s / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
+def unrolled_solve_lower_mat(L, B):
+    """Solve L X = B for UNBATCHED L [N, N] and matrix RHS B [N, M]
+    (vmap supplies any batch axes at the call sites)."""
+    Xt = unrolled_solve_lower(L, jnp.swapaxes(B, -1, -2))  # rows as batch
+    return jnp.swapaxes(Xt, -1, -2)
+
+
 def safe_cholesky(K, jitters=(1e-6, 1e-4, 1e-2)):
     """Cholesky with escalating diagonal jitter (gpytorch psd_safe_cholesky
     semantics, reference fallback: GPR_meta_mlap.py:439-448), jit-compatible.

@@ -188,3 +188,48 @@ class FactorizedNormal:
 
     def log_prob(self, value):
         return jnp.sum(self._normal.log_prob(value), axis=self.summation_axis)
+
+
+class UnnormalizedExpDist:
+    """Density proportional to exp(exponent_fn(value))
+    (reference: meta_learn/models.py:45-63)."""
+
+    def __init__(self, exponent_fn):
+        self.exponent_fn = exponent_fn
+
+    def log_prob(self, value):
+        return self.exponent_fn(value)
+
+
+class CatDist:
+    """Concatenation of independent block distributions along the event dim
+    (reference: meta_learn/models.py:144-184). Each block needs .sample(key,
+    sample_shape) -> [..., d_i] and .log_prob over its own event dim."""
+
+    def __init__(self, dists, block_dims, reduce_event_dim=True):
+        assert len(dists) == len(block_dims)
+        self.dists = list(dists)
+        self.block_dims = list(block_dims)
+        self.reduce_event_dim = reduce_event_dim
+
+    @property
+    def event_dim(self):
+        return sum(self.block_dims)
+
+    def sample(self, key, sample_shape=()):
+        import jax
+
+        keys = jax.random.split(key, len(self.dists))
+        parts = [d.sample(k, sample_shape) for d, k in zip(self.dists, keys)]
+        return jnp.concatenate(parts, axis=-1)
+
+    def log_prob(self, value):
+        idx = 0
+        lps = []
+        for d, n in zip(self.dists, self.block_dims):
+            lps.append(d.log_prob(value[..., idx:idx + n]))
+            idx += n
+        stacked = jnp.stack(lps, axis=0)
+        if self.reduce_event_dim:
+            return jnp.sum(stacked, axis=0)
+        return stacked

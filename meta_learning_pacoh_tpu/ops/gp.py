@@ -29,7 +29,13 @@ import math
 import jax
 import jax.numpy as jnp
 
-from meta_learning_pacoh_tpu.ops.chol import cholesky, safe_cholesky
+from meta_learning_pacoh_tpu.ops.chol import (
+    UNROLL_MAX_N,
+    cholesky,
+    safe_cholesky,
+    unrolled_cholesky,
+    unrolled_solve_lower,
+)
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -62,11 +68,27 @@ def gp_mll(mean, K, y, noise_var, mask=None, jitter=1e-6):
     else:
         n_eff = jnp.asarray(float(y.shape[-1]), dtype=y.dtype)
 
-    # escalating jitter: sampled GP-prior params can drive the likelihood
-    # noise to ~0 (softplus, no floor on the random-GP flavor), where the
-    # base 1e-6 jitter under-regularizes the f32 factorization
-    L = safe_cholesky(Kn, jitters=(0.0, 1e-4, 1e-2))
-    z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
+    n = y.shape[-1]
+    if n <= UNROLL_MAX_N:
+        # tiny N: fully-unrolled factorization + solve fuse into the
+        # surrounding kernel — no while-loop HLOs in the hot path. Jitter
+        # escalation via stop-gradient trials stays cheap at this size.
+        Kn_nd = jax.lax.stop_gradient(Kn)
+        eye = jnp.eye(n, dtype=Kn.dtype)
+
+        def ok(j):
+            d = jnp.diagonal(unrolled_cholesky(Kn_nd + j * eye))
+            return jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
+
+        jit_sel = jnp.where(ok(0.0), 0.0, jnp.where(ok(1e-4), 1e-4, 1e-2))
+        L = unrolled_cholesky(Kn + jit_sel * eye)
+        z = unrolled_solve_lower(L, r)
+    else:
+        # escalating jitter: sampled GP-prior params can drive the likelihood
+        # noise to ~0 (softplus, no floor on the random-GP flavor), where the
+        # base 1e-6 jitter under-regularizes the f32 factorization
+        L = safe_cholesky(Kn, jitters=(0.0, 1e-4, 1e-2))
+        z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
     quad = jnp.sum(z * z)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
     ll = -0.5 * (quad + logdet + n_eff * _LOG_2PI)

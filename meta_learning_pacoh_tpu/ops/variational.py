@@ -23,11 +23,29 @@ _LOG_2PI = math.log(2.0 * math.pi)
 def gaussian_kl_chol(m0, L0, m1, K1, jitter=1e-6):
     """KL( N(m0, L0 L0^T) || N(m1, K1) ). m0, m1: [N]; L0: [N, N] lower;
     K1: [N, N] PSD. Returns scalar."""
+    from meta_learning_pacoh_tpu.ops.chol import (
+        UNROLL_MAX_N, unrolled_cholesky, unrolled_solve_lower,
+        unrolled_solve_lower_mat,
+    )
+
     n = m0.shape[-1]
-    L1 = safe_cholesky(K1, jitters=(jitter, 1e-4, 1e-2))
-    M = solve_triangular(L1, L0, lower=True)  # L1^{-1} L0
+    if n <= UNROLL_MAX_N:
+        K_nd = jax.lax.stop_gradient(K1)
+        eye = jnp.eye(n, dtype=K1.dtype)
+
+        def ok(j):
+            d = jnp.diagonal(unrolled_cholesky(K_nd + j * eye))
+            return jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
+
+        jit_sel = jnp.where(ok(jitter), jitter, jnp.where(ok(1e-4), 1e-4, 1e-2))
+        L1 = unrolled_cholesky(K1 + jit_sel * eye)
+        M = unrolled_solve_lower_mat(L1, L0)
+        d = unrolled_solve_lower(L1, m1 - m0)
+    else:
+        L1 = safe_cholesky(K1, jitters=(jitter, 1e-4, 1e-2))
+        M = solve_triangular(L1, L0, lower=True)  # L1^{-1} L0
+        d = solve_triangular(L1, (m1 - m0)[:, None], lower=True)[:, 0]
     trace = jnp.sum(M * M)
-    d = solve_triangular(L1, (m1 - m0)[:, None], lower=True)[:, 0]
     quad = jnp.sum(d * d)
     logdet1 = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L1)))
     logdet0 = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L0)) + 1e-12))
