@@ -28,6 +28,7 @@ from meta_learning_pacoh_tpu.models.gp_base import (
     GPConfig,
     init_gp_params,
     gp_prior_mll,
+    gp_prior_mll_batch,
     gp_predict,
 )
 from meta_learning_pacoh_tpu.ops.distributions import (
@@ -160,8 +161,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             xb, yb, mb = X[idx], Y[idx], M[idx]
 
             def loss_fn(p):
-                mlls = jax.vmap(lambda x, y, m: gp_prior_mll(cfg, p, x, y, m))(xb, yb, mb)
-                return -jnp.sum(mlls)
+                return -jnp.sum(gp_prior_mll_batch(cfg, p, xb, yb, mb))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)

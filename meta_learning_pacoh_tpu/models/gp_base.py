@@ -114,6 +114,16 @@ def gp_prior_mll(cfg: GPConfig, params, x, y, mask=None):
     return gp_ops.gp_mll(mean, K, y, noise, mask=mask)
 
 
+def gp_prior_mll_batch(cfg: GPConfig, params, X, Y, mask=None):
+    """Batched task MLLs under SHARED params: X [T, N, D], Y [T, N] -> [T].
+    Routes the linalg cores through the batched dispatch (Pallas kernel /
+    unrolled expressions) instead of a per-task vmap of XLA factorizations."""
+    means = jax.vmap(lambda x: gp_mean(cfg, params, x))(X)
+    Ks = jax.vmap(lambda x: gp_gram(cfg, params, x))(X)
+    _, _, noise = gp_hypers(cfg, params)
+    return gp_ops.gp_mll_batch(means, Ks, Y, noise, mask)
+
+
 def gp_predict(cfg: GPConfig, params, x_context, y_context, x_test, mask_c=None,
                observation_noise=True):
     """Posterior predictive at x_test given context data.

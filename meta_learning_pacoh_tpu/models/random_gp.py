@@ -128,18 +128,38 @@ def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y, m
 
     flat_particles [K, P]; X [T, N, D]; Y [T, N]; mask [T, N] or None.
     Returns [K].
+
+    The NN mean/feature forwards run vmapped over (particles x tasks); the
+    O(N^3) MLL cores are flattened into ONE [K*T]-batched call so the fused
+    Pallas kernel (or the unrolled small-N path) sees the whole batch.
     """
+    from meta_learning_pacoh_tpu.models.gp_base import gp_gram, gp_hypers, gp_mean
+    from meta_learning_pacoh_tpu.ops.gp import gp_mll_batch
+
     if mask is None:
         mask = jnp.ones(Y.shape, dtype=Y.dtype)
-    per_task = jax.vmap(  # over particles
-        jax.vmap(  # over tasks
-            lambda p, x, y, m: task_mll_flat(hyper_prior, p, x, y, m),
-            in_axes=(None, 0, 0, 0),
-        ),
-        in_axes=(0, None, None, None),
-    )(flat_particles, X, Y, mask)  # [K, T]
+    cfg, unravel = hyper_prior.cfg, hyper_prior.unravel
+    k_particles, n_tasks = flat_particles.shape[0], X.shape[0]
 
-    n_tasks = X.shape[0]
+    def mean_K_noise(flat, x):
+        params = unravel(flat)
+        _, _, noise = gp_hypers(cfg, params)
+        return gp_mean(cfg, params, x), gp_gram(cfg, params, x), noise
+
+    means, Ks, noises = jax.vmap(  # over particles
+        jax.vmap(mean_K_noise, in_axes=(None, 0)),  # over tasks
+        in_axes=(0, None),
+    )(flat_particles, X)  # [K, T, N], [K, T, N, N], [K, T]
+
+    n = Y.shape[-1]
+    Yb = jnp.broadcast_to(Y, (k_particles,) + Y.shape).reshape(-1, n)
+    Mb = jnp.broadcast_to(mask, (k_particles,) + mask.shape).reshape(-1, n)
+    lls = gp_mll_batch(
+        means.reshape(-1, n), Ks.reshape(-1, n, n), Yb,
+        noises.reshape(-1), Mb,
+    )
+    per_task = lls.reshape(k_particles, n_tasks)
+
     sizes = jnp.sum(mask, axis=-1)  # [T]
     harmonic_mean = 1.0 / jnp.mean(1.0 / sizes)
     pre_factor = harmonic_mean / (harmonic_mean + n_tasks)

@@ -95,6 +95,45 @@ def gp_mll(mean, K, y, noise_var, mask=None, jitter=1e-6):
     return ll / n_eff
 
 
+def gp_mll_batch(mean, K, y, noise_var, mask=None, jitter=1e-6):
+    """Batched exact GP MLL / n over B independent systems.
+
+    mean, y: [B, N]; K: [B, N, N]; noise_var: [B] or scalar; mask: [B, N].
+    Dispatch: N <= 8 -> vmapped fully-unrolled expressions; 9 <= N <= 64 on
+    TPU -> the fused Pallas MLL kernel (ONE launch per direction for the
+    whole batch, ops/pallas/mll_kernel.py); otherwise vmapped XLA linalg.
+    """
+    from meta_learning_pacoh_tpu import config
+    from meta_learning_pacoh_tpu.ops.pallas.mll_kernel import (
+        MLL_KERNEL_MAX_N,
+        MLL_KERNEL_MIN_N,
+        mll_quad_logdet,
+    )
+
+    n = y.shape[-1]
+    noise_b = jnp.broadcast_to(jnp.asarray(noise_var), y.shape[:-1])
+    use_kernel = (
+        config.pallas_enabled()
+        and MLL_KERNEL_MIN_N <= n <= MLL_KERNEL_MAX_N
+        and y.dtype == jnp.float32
+    )
+    if not use_kernel:
+        return jax.vmap(gp_mll, in_axes=(0, 0, 0, 0, 0 if mask is not None else None,
+                                         None))(mean, K, y, noise_b, mask, jitter)
+
+    Kn = jax.vmap(lambda k, nv, m: add_noise_masked(k, nv, m, jitter),
+                  in_axes=(0, 0, 0 if mask is not None else None))(K, noise_b, mask)
+    r = y - mean
+    if mask is not None:
+        r = r * mask
+        n_eff = jnp.sum(mask, axis=-1)
+    else:
+        n_eff = jnp.full(y.shape[:-1], float(n), dtype=y.dtype)
+    quad, logdet = mll_quad_logdet(Kn, r)
+    ll = -0.5 * (quad + logdet + n_eff * _LOG_2PI)
+    return ll / n_eff
+
+
 def gp_posterior(mean_c, K_cc, K_ct, mean_t, K_tt, y_c, noise_var, mask_c=None,
                  jitter=1e-6):
     """Exact GP posterior over the latent f at test points, given context data.
