@@ -106,6 +106,16 @@ class RegressionModelBase:
 class RegressionModelMetaLearned(RegressionModelBase):
     """Base for meta-learners: predict(context_x, context_y, test_x)."""
 
+    def _check_and_set_dims(self, meta_train_data):
+        """Dim promotion + consistency checks (reference: abstract.py:235-241)."""
+        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
+        self.input_dim = shapes[0][0].shape[-1]
+        self.output_dim = shapes[0][1].shape[-1]
+        assert all(
+            x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
+            for x, y in shapes
+        ), "all tasks must share input/output dimensionality"
+
     def predict(self, context_x, context_y, test_x, **kwargs):
         raise NotImplementedError
 

@@ -72,13 +72,6 @@ class MAMLRegression(RegressionModelMetaLearned):
         self._adapt_fn = self._build_adapt_fn()
         self._step_count = 0
 
-    def _check_and_set_dims(self, meta_train_data):
-        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
-        self.input_dim = shapes[0][0].shape[-1]
-        self.output_dim = shapes[0][1].shape[-1]
-        assert all(x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
-                   for x, y in shapes)
-
     def _prepare_meta_data(self, meta_train_tuples):
         """MAML keeps y 2-D (output_dim may exceed 1)."""
         from meta_learning_pacoh_tpu.utils.input_handling import stack_task_tuples

@@ -105,14 +105,6 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         self._batch_eval_fn = self._build_batch_eval_fn()
         self._step_count = 0
 
-    def _check_and_set_dims(self, meta_train_data):
-        shapes = [handle_input_dim(x, y) for x, y in meta_train_data]
-        self.input_dim = shapes[0][0].shape[-1]
-        self.output_dim = shapes[0][1].shape[-1]
-        assert all(
-            x.shape[-1] == self.input_dim and y.shape[-1] == self.output_dim
-            for x, y in shapes
-        )
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):

@@ -17,7 +17,7 @@ with the batch riding the 128-lane dimension:
 XLA lowers each cholesky / triangular-solve to while-loop HLOs whose fixed
 cost dominates at small-to-moderate N; this kernel replaces ~6 of those per
 MLL evaluation with 2 launches for the whole [B, N, N] batch. Used for
-9 <= N <= 64 (below: fully-unrolled jnp expressions win; above: VMEM).
+9 <= N <= 48 (below: fully-unrolled jnp expressions win; above: VMEM).
 """
 
 import functools
@@ -32,7 +32,7 @@ from meta_learning_pacoh_tpu import config
 
 _LANE_BLOCK = 128
 MLL_KERNEL_MIN_N = 9
-MLL_KERNEL_MAX_N = 64
+MLL_KERNEL_MAX_N = 48  # N=64 exceeds the 16M VMEM scoped limit (3 jitter factors resident)
 _JITTERS = (0.0, 1e-4, 1e-2)
 
 
