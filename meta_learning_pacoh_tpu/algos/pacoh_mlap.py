@@ -90,9 +90,6 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         self._check_and_set_dims(meta_train_data)
         self._compute_normalization_stats(meta_train_data)
         self.X, self.Y, self.mask = self._prepare_meta_data(meta_train_data)
-        assert float(jnp.min(self.mask)) == 1.0, (
-            "PACOH-MLAP currently requires equal-size tasks"
-        )
         self.n_tasks = self.X.shape[0]
         if task_batch_size < 1:
             self.task_batch_size = self.n_tasks
@@ -130,10 +127,12 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
     def _noise_var(self, raw_noise):
         return softplus(raw_noise) + 1e-4
 
-    def _prior_moments(self, theta, x):
+    def _prior_moments(self, theta, x, mask=None):
         """Moment-matched GP prior from hyper-posterior samples theta [S, P]
         at points x [N, D] -> (mean [N], cov [N, N])
-        (reference aggregation: GPR_meta_mlap.py:407-435)."""
+        (reference aggregation: GPR_meta_mlap.py:407-435).
+
+        mask [N] turns padded points inert: zero mean, identity cov rows."""
         unravel, cfg = self.hyper_prior.unravel, self.cfg
 
         def one(flat):
@@ -146,38 +145,56 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         cov = (jnp.mean(covs, axis=0)
                + jnp.mean(resid[:, :, None] * resid[:, None, :], axis=0)
                + 1e-5 * jnp.eye(x.shape[0]))
+        if mask is not None:
+            mean = mean * mask
+            m2 = mask[:, None] * mask[None, :]
+            cov = cov * m2 + jnp.diag(1.0 - mask)
         return mean, cov
 
-    def _init_task_posteriors(self, hyper_post, X, key):
+    def _init_task_posteriors(self, hyper_post, X, key, mask=None):
         """q_t init at the aggregated prior (reference: GPR_meta_mlap.py:247-256)."""
         k_theta, k_eps = jax.random.split(key)
         theta = posterior_rsample(hyper_post, k_theta, _N_AGG_SAMPLES)
+        if mask is None:
+            mask = jnp.ones(X.shape[:2], jnp.float32)
 
-        def one(x, eps):
-            mean, cov = self._prior_moments(theta, x)
-            q_mean = mean + 1e-3 * eps
+        def one(x, eps, m):
+            mean, cov = self._prior_moments(theta, x, mask=m)
+            q_mean = mean + 1e-3 * eps * m
             q_tril = safe_cholesky(cov + 1e-3 * jnp.eye(x.shape[0]))
             return q_mean, q_tril
 
         eps = jax.random.normal(k_eps, X.shape[:2], jnp.float32)
-        return jax.vmap(one)(X, eps)
+        return jax.vmap(one)(X, eps, jnp.asarray(mask))
 
-    def _task_bound(self, q_mean, q_tril, x, y, theta, noise_var, kl_outer, n_tasks):
-        """One task's PAC bound term (reference: GPR_meta_mlap.py:318-355)."""
+    def _task_bound(self, q_mean, q_tril, x, y, theta, noise_var, kl_outer,
+                    n_tasks, mask=None):
+        """One task's PAC bound term (reference: GPR_meta_mlap.py:318-355).
+
+        With a padding mask, q is pinned to N(0, I) on padded dims and the
+        prior is identity there too, so padded dims contribute exactly 0 to
+        both the expected log-likelihood and the inner KL."""
         unravel, cfg = self.hyper_prior.unravel, self.cfg
-        L = jnp.tril(q_tril)
+        if mask is None:
+            mask = jnp.ones_like(y)
+        m2 = mask[:, None] * mask[None, :]
+        L = jnp.tril(q_tril) * m2 + jnp.diag(1.0 - mask)
+        q_mean_eff = q_mean * mask
         f_var = jnp.sum(L**2, axis=-1)
-        avg_ll = jnp.mean(expected_log_prob_gaussian(y, q_mean, f_var, noise_var))
+        n_eff = jnp.sum(mask)
+        lp = expected_log_prob_gaussian(y, q_mean_eff, f_var, noise_var)
+        avg_ll = jnp.sum(lp * mask) / n_eff
 
         def kl_one(flat):
             p = unravel(flat)
-            return gaussian_kl_chol(q_mean, L, gp_mean(cfg, p, x), gp_gram(cfg, p, x))
+            prior_mean = gp_mean(cfg, p, x) * mask
+            prior_cov = gp_gram(cfg, p, x) * m2 + jnp.diag(1.0 - mask)
+            return gaussian_kl_chol(q_mean_eff, L, prior_mean, prior_cov)
 
         kl_inner = self.task_kl_weight * jnp.mean(jax.vmap(kl_one)(theta))
-        m = float(y.shape[0])
         complexity = jnp.sqrt(
-            (kl_outer + kl_inner + math.log(2.0) + math.log(m)
-             + math.log(n_tasks) - math.log(self.delta)) / (2.0 * (m - 1.0))
+            (kl_outer + kl_inner + math.log(2.0) + jnp.log(n_eff)
+             + math.log(n_tasks) - math.log(self.delta)) / (2.0 * (n_eff - 1.0))
         )
         return -avg_ll + complexity, avg_ll, kl_inner
 
@@ -205,7 +222,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         hyper_prior = self.hyper_prior
         meta_kl_weight = self.meta_kl_weight
 
-        def loss_fn(params, key, idx, X, Y):
+        def loss_fn(params, key, idx, X, Y, M):
             theta = posterior_rsample(params["hyper_post"], key, svi)
             kl_outer_raw = posterior_kl_to_prior(params["hyper_post"], hyper_prior)
             kl_outer = meta_kl_weight * kl_outer_raw
@@ -214,7 +231,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             def per_task(i):
                 return self._task_bound(
                     params["q_means"][i], params["q_trils"][i], X[i], Y[i],
-                    theta, noise_var, kl_outer, float(n_tasks),
+                    theta, noise_var, kl_outer, float(n_tasks), mask=M[i],
                 )
 
             bounds, avg_lls, kl_inners = jax.vmap(per_task)(idx)
@@ -230,24 +247,24 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             }
             return loss, diag
 
-        def single_step(carry, key, X, Y):
+        def single_step(carry, key, X, Y, M):
             params, opt_state = carry
             k_task, k_theta = jax.random.split(key)
             idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
             (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, k_theta, idx, X, Y
+                params, k_theta, idx, X, Y, M
             )
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, diag)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, X, Y, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, M, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
 
             def body(carry, key):
-                return single_step(carry, key, X, Y)
+                return single_step(carry, key, X, Y, M)
 
             (params, opt_state), (losses, diags) = jax.lax.scan(
                 body, (params, opt_state), keys
@@ -269,7 +286,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses, diags = self._step_fn(
-                self.params, self.opt_state, self.X, self.Y,
+                self.params, self.opt_state, self.X, self.Y, self.mask,
                 self._train_key, self._step_count, chunk
             )
             remaining -= chunk
@@ -301,30 +318,30 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         hyper_prior = self.hyper_prior
         meta_kl_weight = self.meta_kl_weight
 
-        def make_loss(Xc, Yc, n_tasks_meta):
+        def make_loss(Xc, Yc, Mc, n_tasks_meta):
             def loss_fn(q_params, hyper_post, raw_noise, key):
                 theta = posterior_rsample(hyper_post, key, svi)
                 kl_outer = meta_kl_weight * posterior_kl_to_prior(hyper_post, hyper_prior)
                 noise_var = self._noise_var(raw_noise)
 
-                def per_task(q_mean, q_tril, x, y):
+                def per_task(q_mean, q_tril, x, y, m):
                     b, _, _ = self._task_bound(
                         q_mean, q_tril, x, y, theta, noise_var, kl_outer,
-                        float(n_tasks_meta),
+                        float(n_tasks_meta), mask=m,
                     )
                     return b
 
                 bounds = jax.vmap(per_task)(
-                    q_params["q_means"], q_params["q_trils"], Xc, Yc
+                    q_params["q_means"], q_params["q_trils"], Xc, Yc, Mc
                 )
                 return jnp.sum(bounds)
 
             return loss_fn
 
         @functools.partial(jax.jit, static_argnames=("n_iter", "lr"))
-        def run_inference(hyper_post, raw_noise, Xc, Yc, q_means, q_trils, key,
+        def run_inference(hyper_post, raw_noise, Xc, Yc, Mc, q_means, q_trils, key,
                           n_iter, lr):
-            loss_fn = make_loss(Xc, Yc, self.n_tasks)
+            loss_fn = make_loss(Xc, Yc, Mc, self.n_tasks)
             opt = optax.adam(lr)
             q_params = {"q_means": q_means, "q_trils": q_trils}
             opt_state = opt.init(q_params)
@@ -344,23 +361,22 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
 
     def _meta_test_inference(self, context_tuples, n_iter=3000, lr=1e-2):
         """Fit per-task posteriors for the given contexts; returns the task
-        state needed for prediction. All tasks optimized in ONE vmapped scan."""
-        prepared = [self._prepare_data_per_task(x, y) for x, y in context_tuples]
-        assert len({x.shape for x, _ in prepared}) == 1, (
-            "meta-test contexts must share a shape"
-        )
-        Xc = jnp.stack([x for x, _ in prepared])
-        Yc = jnp.stack([y for _, y in prepared])
+        state needed for prediction. All tasks (ragged ones padded + masked)
+        optimized in ONE vmapped scan."""
+        Xc, Yc, Mc = self._prepare_meta_data(context_tuples)
+        Xc, Yc, Mc = jnp.asarray(Xc), jnp.asarray(Yc), jnp.asarray(Mc)
 
         k_init, k_opt, k_theta = jax.random.split(self._next_key(), 3)
         theta_agg = posterior_rsample(self.params["hyper_post"], k_theta, _N_AGG_SAMPLES)
-        q_means, q_trils = self._init_task_posteriors(self.params["hyper_post"], Xc, k_init)
+        q_means, q_trils = self._init_task_posteriors(
+            self.params["hyper_post"], Xc, k_init, mask=Mc
+        )
         q_params, losses = self._meta_test_fn(
-            self.params["hyper_post"], self.params["raw_noise"], Xc, Yc,
+            self.params["hyper_post"], self.params["raw_noise"], Xc, Yc, Mc,
             q_means, q_trils, k_opt, n_iter, lr,
         )
         return {
-            "Xc": Xc, "Yc": Yc,
+            "Xc": Xc, "Yc": Yc, "Mc": Mc,
             "q_means": q_params["q_means"], "q_trils": q_params["q_trils"],
             "theta_agg": theta_agg,
         }
@@ -368,15 +384,20 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
     def _predictive(self, task_state, i, x_test_n):
         """Aggregated-prior SVGP predictive for task i at normalized test x."""
         xc = task_state["Xc"][i]
+        mc = task_state["Mc"][i]
         nc = xc.shape[0]
         x_all = jnp.concatenate([xc, x_test_n], axis=0)
-        mean_all, cov_all = self._prior_moments(task_state["theta_agg"], x_all)
+        mask_all = jnp.concatenate([mc, jnp.ones(x_test_n.shape[0], mc.dtype)])
+        mean_all, cov_all = self._prior_moments(task_state["theta_agg"], x_all,
+                                                mask=mask_all)
         mean_c, mean_t = mean_all[:nc], mean_all[nc:]
         K_cc = cov_all[:nc, :nc]
         K_ct = cov_all[:nc, nc:]
         K_tt = cov_all[nc:, nc:]
+        m2c = mc[:, None] * mc[None, :]
+        q_tril = jnp.tril(task_state["q_trils"][i]) * m2c + jnp.diag(1.0 - mc)
         m, c = svgp_predict(
-            task_state["q_means"][i], jnp.tril(task_state["q_trils"][i]),
+            task_state["q_means"][i] * mc, q_tril,
             mean_c, K_cc, K_ct, mean_t, K_tt,
         )
         noise_var = self._noise_var(self.params["raw_noise"])
@@ -415,24 +436,31 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             TY = jnp.stack([jnp.asarray(ty.flatten()) for _, ty in test_prepared])
             y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
             noise_var = self._noise_var(self.params["raw_noise"])
-            theta, Xc = task_state["theta_agg"], task_state["Xc"]
+            theta, Xc, Mc = (task_state["theta_agg"], task_state["Xc"],
+                             task_state["Mc"])
             nc = Xc.shape[1]
 
             @jax.jit
             def batch_metrics(q_means, q_trils, tx_all, ty_all):
                 def one(args):
-                    xc, qm, qt, tx, ty = args
+                    xc, mc, qm, qt, tx, ty = args
                     x_all = jnp.concatenate([xc, tx], axis=0)
-                    mean_all, cov_all = self._prior_moments(theta, x_all)
+                    mask_all = jnp.concatenate(
+                        [mc, jnp.ones(tx.shape[0], mc.dtype)]
+                    )
+                    mean_all, cov_all = self._prior_moments(theta, x_all,
+                                                            mask=mask_all)
+                    m2c = mc[:, None] * mc[None, :]
+                    qt_eff = jnp.tril(qt) * m2c + jnp.diag(1.0 - mc)
                     m, c = svgp_predict(
-                        qm, jnp.tril(qt), mean_all[:nc], cov_all[:nc, :nc],
+                        qm * mc, qt_eff, mean_all[:nc], cov_all[:nc, :nc],
                         cov_all[:nc, nc:], mean_all[nc:], cov_all[nc:, nc:],
                     )
                     c = c + noise_var * jnp.eye(c.shape[-1])
                     return gp_eval_metrics(m, c, ty, y_mean, y_std)
 
                 return jax.lax.map(
-                    one, (Xc, q_means, q_trils, tx_all, ty_all)
+                    one, (Xc, Mc, q_means, q_trils, tx_all, ty_all)
                 )
 
             lls, rmses, calibs = batch_metrics(

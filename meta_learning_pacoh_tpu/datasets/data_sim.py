@@ -215,21 +215,57 @@ class CauchyDataset(MetaDataset):
         return out
 
 
+def _parse_idx_images(path):
+    """Minimal IDX3 image parser (plain or .gz) — replaces the `mnist`
+    package dependency when the raw files are available locally."""
+    import gzip
+    import struct
+
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic, num, rows, cols = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051, f"not an IDX3 image file: {path}"
+        data = np.frombuffer(f.read(), dtype=np.uint8)
+    return data.reshape(num, rows, cols)
+
+
 class MNISTRegressionDataset(MetaDataset):
     """Pixel regression: (row, col) -> intensity per image
-    (reference: data_sim.py:134-200). Requires the `mnist` package or local
-    idx files under data/mnist."""
+    (reference: data_sim.py:134-200). Uses the `mnist` package if installed,
+    else parses local idx files under data/mnist (zero-egress fallback)."""
 
     def __init__(self, random_state=None, dtype=np.float32):
         super().__init__(random_state)
         self.dtype = dtype
-        import mnist
 
-        mnist_dir = MNIST_DIR if os.path.isdir(MNIST_DIR) else None
-        self.train_images = mnist.download_and_parse_mnist_file(
-            "train-images-idx3-ubyte.gz", target_dir=mnist_dir) / 255.0
-        self.test_images = mnist.download_and_parse_mnist_file(
-            "t10k-images-idx3-ubyte.gz", target_dir=mnist_dir) / 255.0
+        try:
+            import mnist
+
+            mnist_dir = MNIST_DIR if os.path.isdir(MNIST_DIR) else None
+            self.train_images = mnist.download_and_parse_mnist_file(
+                "train-images-idx3-ubyte.gz", target_dir=mnist_dir) / 255.0
+            self.test_images = mnist.download_and_parse_mnist_file(
+                "t10k-images-idx3-ubyte.gz", target_dir=mnist_dir) / 255.0
+            return
+        except ImportError:
+            pass
+
+        def find(*names):
+            for name in names:
+                p = os.path.join(MNIST_DIR, name)
+                if os.path.exists(p):
+                    return p
+            raise FileNotFoundError(
+                f"MNIST idx files not found in {MNIST_DIR} "
+                f"(looked for {names}) and the `mnist` package is unavailable"
+            )
+
+        self.train_images = _parse_idx_images(
+            find("train-images-idx3-ubyte.gz", "train-images-idx3-ubyte")
+        ) / 255.0
+        self.test_images = _parse_idx_images(
+            find("t10k-images-idx3-ubyte.gz", "t10k-images-idx3-ubyte")
+        ) / 255.0
 
     def _image_to_task(self, image, n_context):
         size = image.shape[0]
