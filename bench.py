@@ -42,6 +42,27 @@ def main():
 
     ll, rmse, calib = m.eval_datasets(meta_test)
 
+    # driver micro-metric (BASELINE.json): batched Cholesky+LML gradient, us
+    import jax
+    import jax.numpy as jnp
+
+    from meta_learning_pacoh_tpu.ops.gp import gp_mll_batch
+
+    B, N = 200, 20
+    rs = np.random.RandomState(0)
+    A = rs.randn(B, N + 3, N).astype(np.float32)
+    K = jnp.asarray(np.einsum("bin,bim->bnm", A, A) / N)
+    mean = jnp.zeros((B, N))
+    yv = jnp.asarray(rs.randn(B, N).astype(np.float32))
+    grad_fn = jax.jit(jax.grad(lambda k: jnp.sum(gp_mll_batch(mean, k, yv, 0.3))))
+    g = grad_fn(K)
+    float(g[0, 0, 0])  # compile + fence
+    t0 = time.time()
+    for _ in range(50):
+        g = grad_fn(K)
+    float(g[0, 0, 0])
+    mll_grad_us = (time.time() - t0) / 50 * 1e6
+
     baseline_steps_per_sec = 10000 / 60.0  # north-star: 10k-iter fit in <60 s
     print(json.dumps({
         "metric": "pacoh_svgd_meta_train_steps_per_sec_sin20",
@@ -53,6 +74,7 @@ def main():
             "test_ll": round(ll, 4),
             "test_rmse": round(rmse, 4),
             "calib_err": round(calib, 4),
+            "batched_chol_lml_grad_us_B200_N20": round(mll_grad_us, 1),
         },
     }))
 

@@ -147,10 +147,22 @@ def gp_posterior(mean_c, K_cc, K_ct, mean_t, K_tt, y_c, noise_var, mask_c=None,
         r = r * mask_c
         K_ct = K_ct * mask_c[:, None]
 
-    L = cholesky(Kn)
-    alpha = jax.scipy.linalg.cho_solve((L, True), r[:, None])[:, 0]
+    nc = y_c.shape[-1]
+    if nc <= UNROLL_MAX_N:
+        from meta_learning_pacoh_tpu.ops.chol import (
+            unrolled_solve_lower_T,
+            unrolled_solve_lower_mat,
+        )
+
+        L = unrolled_cholesky(Kn)
+        z = unrolled_solve_lower(L, r)
+        alpha = unrolled_solve_lower_T(L, z)
+        V = unrolled_solve_lower_mat(L, K_ct)
+    else:
+        L = cholesky(Kn)
+        alpha = jax.scipy.linalg.cho_solve((L, True), r[:, None])[:, 0]
+        V = jax.scipy.linalg.solve_triangular(L, K_ct, lower=True)
     post_mean = mean_t + K_ct.T @ alpha
-    V = jax.scipy.linalg.solve_triangular(L, K_ct, lower=True)
     post_cov = K_tt - V.T @ V
     return post_mean, post_cov
 
