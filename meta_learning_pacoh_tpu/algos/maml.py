@@ -10,7 +10,6 @@ Evaluation is RMSE-only (MAML.py:148-185).
 """
 
 import functools
-import math
 import time
 
 import numpy as np

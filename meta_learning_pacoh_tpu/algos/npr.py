@@ -11,7 +11,6 @@ mean what they say.
 """
 
 import functools
-import math
 import time
 
 import numpy as np

@@ -16,7 +16,6 @@ The context-is-subset-of-target convention is preserved
 import jax
 import jax.numpy as jnp
 
-from meta_learning_pacoh_tpu.models.mlp import init_mlp_params
 
 
 def _linear(params, name, x):

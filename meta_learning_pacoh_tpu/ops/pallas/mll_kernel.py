@@ -21,7 +21,6 @@ MLL evaluation with 2 launches for the whole [B, N, N] batch. Used for
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

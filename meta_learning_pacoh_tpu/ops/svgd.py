@@ -17,7 +17,6 @@ the kernel), so the whole update is two batched matmuls plus elementwise ops
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
