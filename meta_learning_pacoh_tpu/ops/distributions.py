@@ -130,11 +130,22 @@ class AffineTransformed:
 class EqualWeightedMixture:
     """Uniform mixture over the leading (component) axis of a batched dist.
 
-    Reference semantics: meta_learn/models.py:74-140 (batched mode). The
-    component axis is axis 0 of the base distribution's parameters.
+    Reference semantics: meta_learn/models.py:74-140. Batched mode takes one
+    distribution whose parameter leading axis indexes components; list mode
+    (a list of same-family distributions) is stacked into batched form.
     """
 
     def __init__(self, base):
+        if isinstance(base, (list, tuple)):
+            first = base[0]
+            if isinstance(first, Normal):
+                base = Normal(jnp.stack([d.loc for d in base]),
+                              jnp.stack([d.scale for d in base]))
+            elif isinstance(first, MultivariateNormal):
+                base = MultivariateNormal(jnp.stack([d.mean for d in base]),
+                                          jnp.stack([d.cov for d in base]))
+            else:
+                raise TypeError(f"cannot stack mixture components of {type(first)}")
         self.base = base
 
     @property
