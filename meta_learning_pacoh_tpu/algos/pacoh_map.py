@@ -54,7 +54,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                  weight_decay=0.0, feature_dim=2, num_iter_fit=10000,
                  covar_module="NN", mean_module="NN", mean_nn_layers=(32, 32),
                  kernel_nn_layers=(32, 32), task_batch_size=5, normalize_data=True,
-                 optimizer="Adam", lr_decay=1.0, random_seed=None):
+                 optimizer="Adam", lr_decay=1.0, random_seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis — requires
+        task_batch_size=-1 (full batch); shards the meta-task tensor so the
+        per-task MLL sum reduces with an XLA psum across devices."""
         super().__init__(normalize_data, random_seed)
 
         assert learning_mode in ["learn_mean", "learn_kernel", "both", "vanilla"]
@@ -75,6 +78,19 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self._compute_normalization_stats(meta_train_data)
         self.X, self.Y, self.mask = self._prepare_meta_data(meta_train_data)
         self.n_tasks = self.X.shape[0]
+        if task_batch_size < 0:
+            self.task_batch_size = task_batch_size = self.n_tasks
+
+        self._mesh = mesh
+        if mesh is not None:
+            assert task_batch_size == self.n_tasks, (
+                "mesh-sharded training requires task_batch_size=-1 (full batch)"
+            )
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            self.X, self.Y, self.mask = shard_task_batch(
+                mesh, self.X, self.Y, self.mask
+            )
 
         self.cfg = GPConfig(
             input_dim=self.input_dim,
@@ -146,11 +162,17 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         opt = self._opt
         n_tasks = self.n_tasks
 
+        full_batch = batch_size == n_tasks
+
         def single_step(carry, key_X_Y_M):
             key, X, Y, M = key_X_Y_M
             params, opt_state = carry
-            idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
-            xb, yb, mb = X[idx], Y[idx], M[idx]
+            if full_batch:
+                # contiguous task axis -> shards cleanly over a 'task' mesh
+                xb, yb, mb = X, Y, M
+            else:
+                idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+                xb, yb, mb = X[idx], Y[idx], M[idx]
 
             def loss_fn(p):
                 return -jnp.sum(gp_prior_mll_batch(cfg, p, xb, yb, mb))

@@ -70,6 +70,21 @@ class TestShardedSVGD:
             rtol=1e-4, atol=1e-5,
         )
 
+    def test_sharded_map_matches_unsharded(self, devices_ok):
+        from meta_learning_pacoh_tpu import GPRegressionMetaLearned
+        from meta_learning_pacoh_tpu.parallel.mesh import make_mesh
+
+        train = _tasks()
+        m_plain = GPRegressionMetaLearned(train, num_iter_fit=30, random_seed=3,
+                                          task_batch_size=-1)
+        m_plain.meta_fit(verbose=False)
+        m_shard = GPRegressionMetaLearned(train, num_iter_fit=30, random_seed=3,
+                                          task_batch_size=-1, mesh=make_mesh(8))
+        m_shard.meta_fit(verbose=False)
+        a = np.asarray(m_plain.params["lengthscale_raw"])
+        b = np.asarray(m_shard.params["lengthscale_raw"])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
     def test_parallel_step_builder(self, devices_ok):
         import optax
 
