@@ -69,6 +69,7 @@ class MAMLRegression(RegressionModelMetaLearned):
         self.opt_state = self._opt.init(self.params)
         self._step_fn = self._build_step_fn()
         self._adapt_fn = self._build_adapt_fn()
+        self._batch_rmse_fn = self._build_batch_rmse_fn()
         self._step_count = 0
 
     def _prepare_meta_data(self, meta_train_tuples):
@@ -212,9 +213,46 @@ class MAMLRegression(RegressionModelMetaLearned):
                                  num_steps_eval=num_steps_eval)
         return float(np.sqrt(np.mean(np.sum((y_pred - test_y) ** 2, axis=-1))))
 
-    def eval_datasets(self, test_tuples, **kwargs):
+    def eval_datasets(self, test_tuples, num_steps_eval=None, **kwargs):
+        """Mean adapted-RMSE. Uniform-shape task sets evaluate in one jitted
+        lax.map (adapt + predict + RMSE for every task at once)."""
         assert all(len(t) == 4 for t in test_tuples)
-        return float(np.mean([self.eval(*t, **kwargs) for t in test_tuples]))
+        if num_steps_eval is None:
+            num_steps_eval = self.num_inner_steps
+
+        prepared = [tuple(handle_input_dim(a, b) + handle_input_dim(c, d))
+                    for a, b, c, d in test_tuples]
+        shapes = {(cx.shape, tx.shape) for cx, _, tx, _ in prepared}
+        if len(shapes) == 1:
+            CX = jnp.asarray(np.stack([self._normalize_x(cx) for cx, _, _, _ in prepared]))
+            CY = jnp.asarray(np.stack([
+                ((cy - self.y_mean[None, :]) / self.y_std[None, :]).astype(np.float32)
+                for _, cy, _, _ in prepared
+            ]))
+            TX = jnp.asarray(np.stack([self._normalize_x(tx) for _, _, tx, _ in prepared]))
+            TY = jnp.asarray(np.stack([ty for _, _, _, ty in prepared]).astype(np.float32))
+            rmses = self._batch_rmse_fn(self.params, CX, CY, TX, TY, num_steps_eval)
+            return float(jnp.mean(rmses))
+        return float(np.mean([
+            self.eval(*t, num_steps_eval=num_steps_eval, **kwargs) for t in test_tuples
+        ]))
+
+    def _build_batch_rmse_fn(self):
+        y_mean = np.asarray(self.y_mean[None, :], np.float32)
+        y_std = np.asarray(self.y_std[None, :], np.float32)
+        lr_inner = self.lr_inner
+
+        @functools.partial(jax.jit, static_argnames=("num_steps",))
+        def batch_rmse(params, CX, CY, TX, TY, num_steps):
+            def one(args):
+                cx, cy, tx, ty = args
+                adapted = inner_adapt(params, cx, cy, lr_inner, num_steps)
+                pred = mlp_apply(adapted, tx) * y_std + y_mean
+                return jnp.sqrt(jnp.mean(jnp.sum((pred - ty) ** 2, axis=-1)))
+
+            return jax.lax.map(one, (CX, CY, TX, TY))
+
+        return batch_rmse
 
     # ------------------------------------------------------------- checkpoint
     def state_dict(self):

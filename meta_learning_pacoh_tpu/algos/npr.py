@@ -67,6 +67,7 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         self.opt_state = self._opt.init(self.params)
         self._step_fn = self._build_step_fn()
         self._predict_fn = jax.jit(np_predict)
+        self._batch_eval_fn = self._build_batch_eval_fn()
         self._step_count = 0
 
     # ------------------------------------------------------------- train step
@@ -142,6 +143,38 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
 
         self.fitted = True
         return loss
+
+    def _build_batch_eval_fn(self):
+        """Whole-test-set NP evaluation in one jitted lax.map. Matches eval()
+        semantics: per-point avg log-density (flatten_y=False convention),
+        z ~ q(z | context) sampled per task."""
+        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
+        from meta_learning_pacoh_tpu.ops.metrics import (
+            _normal_cdf, calib_error_from_cdf,
+        )
+
+        @jax.jit
+        def batch_eval(params, key, CX, CY, TX, TY):
+            keys = jax.random.split(key, CX.shape[0])
+
+            def one(args):
+                k, cx, cy, tx, ty = args
+                mu, sigma = np_predict(params, k, cx, cy[:, None], tx)
+                mean_o = y_mean + y_std * mu[:, 0]
+                std_o = y_std * sigma[:, 0]
+                z = (ty - mean_o) / std_o
+                lp = -0.5 * (z**2 + jnp.log(2.0 * jnp.pi)) - jnp.log(std_o)
+                avg_ll = jnp.mean(lp)
+                rmse = jnp.sqrt(jnp.mean((mean_o - ty) ** 2))
+                calib = calib_error_from_cdf(_normal_cdf(ty, mean_o, std_o))
+                return avg_ll, rmse, calib
+
+            return jax.lax.map(one, (keys, CX, CY, TX, TY))
+
+        return batch_eval
+
+    def _run_batch_eval(self, CX, CY, TX, TY):
+        return self._batch_eval_fn(self.params, self._next_key(), CX, CY, TX, TY)
 
     # ---------------------------------------------------------------- predict
     def predict(self, context_x, context_y, test_x, return_density=False):

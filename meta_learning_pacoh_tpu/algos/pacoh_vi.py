@@ -51,7 +51,9 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
                  covar_module="NN", mean_module="NN", mean_nn_layers=(32, 32),
                  kernel_nn_layers=(32, 32), optimizer="Adam", lr=1e-3, lr_decay=1.0,
                  svi_batch_size=10, cov_type="diag", task_batch_size=-1,
-                 normalize_data=True, random_seed=None):
+                 normalize_data=True, random_seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis (full-batch
+        data parallelism over tasks; requires task_batch_size=-1)."""
         super().__init__(normalize_data, random_seed)
 
         assert mean_module in ["NN", "constant"]
@@ -71,6 +73,17 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             self.task_batch_size = self.n_tasks
         else:
             self.task_batch_size = min(task_batch_size, self.n_tasks)
+
+        self._mesh = mesh
+        if mesh is not None:
+            assert self.task_batch_size == self.n_tasks, (
+                "mesh-sharded training requires task_batch_size=-1 (full batch)"
+            )
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            self.X, self.Y, self.mask = shard_task_batch(
+                mesh, self.X, self.Y, self.mask
+            )
 
         self.cfg = random_gp_config(
             self.input_dim, feature_dim=feature_dim, mean_module=mean_module,
@@ -114,11 +127,16 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             elbo = jnp.mean(lp) + prior_factor * posterior_entropy(post)
             return -elbo
 
+        full_batch = batch_size == n_tasks
+
         def single_step(carry, key, X, Y, M):
             post, opt_state = carry
             k_task, k_sample = jax.random.split(key)
-            idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
-            xb, yb, mb = X[idx], Y[idx], M[idx]
+            if full_batch:
+                xb, yb, mb = X, Y, M
+            else:
+                idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
+                xb, yb, mb = X[idx], Y[idx], M[idx]
             loss, grads = jax.value_and_grad(neg_elbo)(post, k_sample, xb, yb, mb)
             updates, opt_state = opt.update(grads, opt_state, post)
             post = optax.apply_updates(post, updates)
