@@ -124,7 +124,7 @@ def unrolled_solve_lower_mat(L, B):
     return jnp.swapaxes(Xt, -1, -2)
 
 
-def safe_cholesky(K, jitters=(1e-6, 1e-4, 1e-2)):
+def safe_cholesky(K, jitters=(1e-6, 1e-4, 1e-2), relative=False):
     """Cholesky with escalating diagonal jitter (gpytorch psd_safe_cholesky
     semantics, reference fallback: GPR_meta_mlap.py:439-448), jit-compatible.
 
@@ -132,17 +132,26 @@ def safe_cholesky(K, jitters=(1e-6, 1e-4, 1e-2)):
     a constant w.r.t. autodiff and no NaN from failed trial factorizations can
     leak into the backward pass; the returned factor is a single clean
     cholesky at the selected jitter.
+
+    relative=True scales the jitter levels by mean(diag(K)) — needed when the
+    matrix scale is data-dependent (e.g. mixture-component predictive
+    covariances whose f32 cancellation error grows with the diagonal).
     """
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
     K_nd = jax.lax.stop_gradient(K)
+    if relative:
+        scale = jnp.mean(jnp.diagonal(K_nd, axis1=-2, axis2=-1))
+        scale = jnp.maximum(jax.lax.stop_gradient(scale), 1e-12)
+    else:
+        scale = jnp.asarray(1.0, K.dtype)
 
     def ok(j):
-        L = _cholesky_impl(K_nd + j * eye)
+        L = _cholesky_impl(K_nd + j * scale * eye)
         d = jnp.diagonal(L, axis1=-2, axis2=-1)
         return jnp.all(jnp.isfinite(d)) & jnp.all(d > 0)
 
     jitter = jnp.asarray(jitters[-1], K.dtype)
     for j in reversed(jitters[:-1]):
         jitter = jnp.where(ok(j), jnp.asarray(j, K.dtype), jitter)
-    return cholesky(K + jitter * eye)
+    return cholesky(K + jitter * scale * eye)

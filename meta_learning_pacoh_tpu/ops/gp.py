@@ -168,9 +168,15 @@ def gp_posterior(mean_c, K_cc, K_ct, mean_t, K_tt, y_c, noise_var, mask_c=None,
 
 
 def mvn_log_prob(y, mean, cov, jitter=1e-6):
-    """Joint log-density of y under N(mean, cov). y, mean: [N]; cov: [N, N]."""
+    """Joint log-density of y under N(mean, cov). y, mean: [N]; cov: [N, N].
+
+    Relative (diag-scaled) jitter escalation up to 10%: degenerate mixture
+    components (near-zero noise + tiny lengthscale particles) produce
+    predictive covariances indefinite by ~1e-2 of their scale in f32 — a
+    smoothed-but-finite density beats a NaN that poisons the whole
+    logsumexp."""
     n = y.shape[-1]
-    L = safe_cholesky(cov, jitters=(jitter, 1e-4, 1e-2))
+    L = safe_cholesky(cov, jitters=(jitter, 1e-2, 1e-1, 1.0), relative=True)
     r = y - mean
     z = jax.scipy.linalg.solve_triangular(L, r[:, None], lower=True)[:, 0]
     quad = jnp.sum(z * z)
