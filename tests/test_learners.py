@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from meta_learning_pacoh_tpu import (
+    GPRegressionLearned,
     GPRegressionMetaLearned,
     GPRegressionMetaLearnedSVGD,
     GPRegressionMetaLearnedVI,
@@ -212,6 +213,52 @@ class TestPACOHVI:
         a, _ = m.predict(test[0][0], test[0][1], test[0][2], mode="MAP")
         b, _ = m2.predict(test[0][0], test[0][1], test[0][2], mode="MAP")
         np.testing.assert_array_equal(a, b)
+
+
+class TestStatisticalLearning:
+    """The reference's strongest learning-quality properties
+    (reference: tests/test_GPR.py:224-278)."""
+
+    @pytest.fixture(scope="class")
+    def meta_8task_eval(self, sin_data):
+        """(ll, rmse) of a meta-learner fit on all 8 train tasks — shared by
+        both statistical tests below."""
+        train, test = sin_data
+        m = GPRegressionMetaLearned(train, num_iter_fit=400, random_seed=9,
+                                    weight_decay=0.0, task_batch_size=4)
+        m.meta_fit(verbose=False)
+        ll, rmse, _ = m.eval_datasets(test)
+        return ll, rmse
+
+    def test_more_meta_train_tasks_improve_eval(self, sin_data, meta_8task_eval):
+        """More meta-train tasks => better test LL and RMSE
+        (reference: tests/test_GPR.py:224-248, 2 vs 10 datasets)."""
+        train, test = sin_data
+        ll8, rmse8 = meta_8task_eval
+
+        m2 = GPRegressionMetaLearned(train[:2], num_iter_fit=400, random_seed=9,
+                                     weight_decay=0.0, task_batch_size=2)
+        m2.meta_fit(verbose=False)
+        ll2, rmse2, _ = m2.eval_datasets(test)
+
+        assert ll8 > ll2
+        assert rmse8 < rmse2
+
+    def test_meta_learning_beats_per_task_gp(self, sin_data, meta_8task_eval):
+        """Meta-learned prior beats fitting a fresh GP per test task on its
+        own context points (reference: tests/test_GPR.py:251-278)."""
+        train, test = sin_data
+        ll_meta, _ = meta_8task_eval
+
+        per_task_lls = []
+        for (xc, yc, xt, yt) in test:
+            g = GPRegressionLearned(xc, yc, learning_mode="both",
+                                    num_iter_fit=400, random_seed=9,
+                                    weight_decay=0.0)
+            g.fit(verbose=False)
+            per_task_lls.append(g.eval(xt, yt)[0])
+
+        assert ll_meta > np.mean(per_task_lls)
 
 
 class TestRaggedTasks:
