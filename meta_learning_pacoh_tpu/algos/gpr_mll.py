@@ -29,6 +29,7 @@ from meta_learning_pacoh_tpu.ops.distributions import (
     Normal,
 )
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 class ReduceLROnPlateau:
@@ -98,11 +99,19 @@ class GPRegressionLearned(RegressionModel):
             init_scheme="torch_linear",
         )
         self.params = init_gp_params(self.cfg, self._next_key())
-        self._setup_optimizer(optimizer, lr)
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches (per-task
+        # baseline fits construct one learner per task)
+        opt_key = (self.cfg, learning_mode, optimizer, lr, weight_decay)
+        self._setup_optimizer(optimizer, lr, opt_key)
         self._plateau = ReduceLROnPlateau(factor=0.2 if lr_scheduler else 1.0)
-        self._step_fn = self._build_step_fn()
-        self._predict_fn = jax.jit(
-            lambda params, xc, yc, xt: gp_predict(self.cfg, params, xc, yc, xt)
+        self._step_fn = shared(("gpr_mll.step",) + opt_key, self._build_step_fn)
+        cfg = self.cfg
+        self._predict_fn = shared(
+            ("gpr_mll.predict", cfg),
+            lambda: jax.jit(
+                lambda params, xc, yc, xt: gp_predict(cfg, params, xc, yc, xt)
+            ),
         )
         self._step_count = 0
 
@@ -131,24 +140,27 @@ class GPRegressionLearned(RegressionModel):
             for name, leaf in self.params.items()
         }
 
-    def _setup_optimizer(self, optimizer, lr):
-        if optimizer == "Adam":
-            # torch.optim.AdamW(groups): NN groups carry weight_decay, the
-            # rest inherit AdamW's 0.01 default (GPR_mll.py:102-107)
-            make = lambda wd: optax.inject_hyperparams(optax.adamw)(
-                learning_rate=lr, weight_decay=wd
-            )
-            transforms = {"nn": make(self.weight_decay), "hyper": make(0.01),
-                          "freeze": optax.set_to_zero()}
-        else:
-            make = lambda wd: optax.inject_hyperparams(
-                lambda learning_rate: optax.chain(
-                    optax.add_decayed_weights(wd), optax.sgd(learning_rate)
+    def _setup_optimizer(self, optimizer, lr, opt_key):
+        def build():
+            if optimizer == "Adam":
+                # torch.optim.AdamW(groups): NN groups carry weight_decay, the
+                # rest inherit AdamW's 0.01 default (GPR_mll.py:102-107)
+                make = lambda wd: optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=lr, weight_decay=wd
                 )
-            )(learning_rate=lr)
-            transforms = {"nn": make(self.weight_decay), "hyper": make(0.0),
-                          "freeze": optax.set_to_zero()}
-        self._opt = optax.multi_transform(transforms, self._param_labels())
+                transforms = {"nn": make(self.weight_decay), "hyper": make(0.01),
+                              "freeze": optax.set_to_zero()}
+            else:
+                make = lambda wd: optax.inject_hyperparams(
+                    lambda learning_rate: optax.chain(
+                        optax.add_decayed_weights(wd), optax.sgd(learning_rate)
+                    )
+                )(learning_rate=lr)
+                transforms = {"nn": make(self.weight_decay), "hyper": make(0.0),
+                              "freeze": optax.set_to_zero()}
+            return optax.multi_transform(transforms, self._param_labels())
+
+        self._opt = shared(("gpr_mll.opt",) + opt_key, build)
         self.opt_state = self._opt.init(self.params)
 
     def _set_lr_scale(self, scale):

@@ -42,6 +42,7 @@ from meta_learning_pacoh_tpu.ops.distributions import (
     Normal,
 )
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 class GPRegressionLearnedPAC(RegressionModel):
@@ -86,10 +87,19 @@ class GPRegressionLearnedPAC(RegressionModel):
             "q_mean": prior_mean,
             "q_chol": q_chol0,
         }
-        self._setup_optimizer(optimizer, lr)
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches; the PAC
+        # loss also depends on the train-set size and delta
+        opt_key = (self.cfg, learning_mode, optimizer, lr, weight_decay)
+        self._setup_optimizer(optimizer, lr, opt_key)
         self._plateau = ReduceLROnPlateau(factor=0.2 if lr_scheduler else 1.0)
-        self._step_fn = self._build_step_fn()
-        self._predict_fn = self._build_predict_fn()
+        self._step_fn = shared(
+            ("gpr_pac.step",) + opt_key + (self.n_train_samples, delta),
+            self._build_step_fn,
+        )
+        self._predict_fn = shared(
+            ("gpr_pac.predict", self.cfg), self._build_predict_fn
+        )
         self._step_count = 0
 
     def _param_labels(self):
@@ -117,22 +127,25 @@ class GPRegressionLearnedPAC(RegressionModel):
         }
         return {"gp": gp_labels, "q_mean": "hyper", "q_chol": "hyper"}
 
-    def _setup_optimizer(self, optimizer, lr):
-        if optimizer == "Adam":
-            make = lambda wd: optax.inject_hyperparams(optax.adamw)(
-                learning_rate=lr, weight_decay=wd
-            )
-            transforms = {"nn": make(self.weight_decay), "hyper": make(0.01),
-                          "freeze": optax.set_to_zero()}
-        else:
-            make = lambda wd: optax.inject_hyperparams(
-                lambda learning_rate: optax.chain(
-                    optax.add_decayed_weights(wd), optax.sgd(learning_rate)
+    def _setup_optimizer(self, optimizer, lr, opt_key):
+        def build():
+            if optimizer == "Adam":
+                make = lambda wd: optax.inject_hyperparams(optax.adamw)(
+                    learning_rate=lr, weight_decay=wd
                 )
-            )(learning_rate=lr)
-            transforms = {"nn": make(self.weight_decay), "hyper": make(0.0),
-                          "freeze": optax.set_to_zero()}
-        self._opt = optax.multi_transform(transforms, self._param_labels())
+                transforms = {"nn": make(self.weight_decay), "hyper": make(0.01),
+                              "freeze": optax.set_to_zero()}
+            else:
+                make = lambda wd: optax.inject_hyperparams(
+                    lambda learning_rate: optax.chain(
+                        optax.add_decayed_weights(wd), optax.sgd(learning_rate)
+                    )
+                )(learning_rate=lr)
+                transforms = {"nn": make(self.weight_decay), "hyper": make(0.0),
+                              "freeze": optax.set_to_zero()}
+            return optax.multi_transform(transforms, self._param_labels())
+
+        self._opt = shared(("gpr_pac.opt",) + opt_key, build)
         self.opt_state = self._opt.init(self.params)
 
     def _set_lr_scale(self, scale):

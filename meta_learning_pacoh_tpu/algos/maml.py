@@ -21,6 +21,7 @@ from meta_learning_pacoh_tpu.algos.base import RegressionModelMetaLearned
 from meta_learning_pacoh_tpu.algos.pacoh_map import make_lr_schedule
 from meta_learning_pacoh_tpu.models.mlp import init_mlp_params, mlp_apply
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 def _mse(params, x, y):
@@ -64,12 +65,33 @@ class MAMLRegression(RegressionModelMetaLearned):
         )
         self._train_key = self._next_key()
 
-        schedule = make_lr_schedule(lr_meta, lr_decay)
-        self._opt = optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+        def build_opt():
+            schedule = make_lr_schedule(lr_meta, lr_decay)
+            return optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+
+        # per-task split index = ceil(n_i / 2) over REAL points (ragged tasks
+        # keep their real points first; reference splits by order, MAML.py:203)
+        self._split_arr = jnp.asarray(
+            np.ceil(np.asarray(self.mask).sum(axis=1) / 2.0).astype(np.int32)
+        )
+
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches
+        opt_key = (optimizer, lr_meta, lr_decay)
+        arch_key = (self.input_dim, self.output_dim, tuple(layer_sizes))
+        self._opt = shared(("maml.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.params)
-        self._step_fn = self._build_step_fn()
-        self._adapt_fn = self._build_adapt_fn()
-        self._batch_rmse_fn = self._build_batch_rmse_fn()
+        self._step_fn = shared(
+            ("maml.step",) + arch_key + opt_key
+            + (lr_inner, num_inner_steps, task_batch_size, self.n_tasks),
+            self._build_step_fn,
+        )
+        self._adapt_fn = shared(
+            ("maml.adapt", lr_inner), self._build_adapt_fn
+        )
+        self._batch_rmse_fn = shared(
+            ("maml.batch_rmse", lr_inner), self._build_batch_rmse_fn
+        )
         self._step_count = 0
 
     def _prepare_meta_data(self, meta_train_tuples):
@@ -91,17 +113,12 @@ class MAMLRegression(RegressionModelMetaLearned):
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
-        n = self.X.shape[1]
         lr_inner, num_inner = self.lr_inner, self.num_inner_steps
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         opt = self._opt
-        # per-task split index = ceil(n_i / 2) over REAL points (ragged tasks
-        # keep their real points first; reference splits by order, MAML.py:203)
-        split_arr = jnp.asarray(np.ceil(self.mask.sum(axis=1) / 2.0).astype(np.int32))
-        mask_all = jnp.asarray(self.mask)
 
         def task_loss(params, x, y, m, split):
-            pos = jnp.arange(n)
+            pos = jnp.arange(x.shape[0])
             w1 = ((pos < split).astype(x.dtype) * m)[:, None]
             w2 = ((pos >= split).astype(x.dtype) * m)[:, None]
 
@@ -118,13 +135,13 @@ class MAMLRegression(RegressionModelMetaLearned):
             err2 = (mlp_apply(adapted, x) - y) ** 2 * w2
             return jnp.sum(err2) / jnp.maximum(jnp.sum(w2 * jnp.ones_like(y)), 1.0)
 
-        def single_step(carry, key, X, Y):
+        def single_step(carry, key, X, Y, M, splits):
             params, opt_state = carry
             idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
             def meta_loss(p):
                 losses = jax.vmap(
                     lambda x, y, m, sp: task_loss(p, x, y, m, sp)
-                )(X[idx], Y[idx], mask_all[idx], split_arr[idx])
+                )(X[idx], Y[idx], M[idx], splits[idx])
                 return jnp.mean(losses)
             loss, grads = jax.value_and_grad(meta_loss)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -132,12 +149,12 @@ class MAMLRegression(RegressionModelMetaLearned):
             return (params, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, X, Y, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, M, splits, base_key, start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
 
             def body(carry, key):
-                return single_step(carry, key, X, Y)
+                return single_step(carry, key, X, Y, M, splits)
 
             (params, opt_state), losses = jax.lax.scan(
                 body, (params, opt_state), keys
@@ -156,8 +173,8 @@ class MAMLRegression(RegressionModelMetaLearned):
         while remaining > 0:
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses = self._step_fn(
-                self.params, self.opt_state, self.X, self.Y,
-                self._train_key, self._step_count, chunk
+                self.params, self.opt_state, self.X, self.Y, self.mask,
+                self._split_arr, self._train_key, self._step_count, chunk
             )
             remaining -= chunk
             itr += chunk
@@ -231,19 +248,22 @@ class MAMLRegression(RegressionModelMetaLearned):
             ]))
             TX = jnp.asarray(np.stack([self._normalize_x(tx) for _, _, tx, _ in prepared]))
             TY = jnp.asarray(np.stack([ty for _, _, _, ty in prepared]).astype(np.float32))
-            rmses = self._batch_rmse_fn(self.params, CX, CY, TX, TY, num_steps_eval)
+            rmses = self._batch_rmse_fn(
+                self.params, CX, CY, TX, TY,
+                np.asarray(self.y_mean[None, :], np.float32),
+                np.asarray(self.y_std[None, :], np.float32),
+                num_steps_eval,
+            )
             return float(jnp.mean(rmses))
         return float(np.mean([
             self.eval(*t, num_steps_eval=num_steps_eval, **kwargs) for t in test_tuples
         ]))
 
     def _build_batch_rmse_fn(self):
-        y_mean = np.asarray(self.y_mean[None, :], np.float32)
-        y_std = np.asarray(self.y_std[None, :], np.float32)
         lr_inner = self.lr_inner
 
         @functools.partial(jax.jit, static_argnames=("num_steps",))
-        def batch_rmse(params, CX, CY, TX, TY, num_steps):
+        def batch_rmse(params, CX, CY, TX, TY, y_mean, y_std, num_steps):
             def one(args):
                 cx, cy, tx, ty = args
                 adapted = inner_adapt(params, cx, cy, lr_inner, num_steps)

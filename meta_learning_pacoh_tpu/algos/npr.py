@@ -27,6 +27,7 @@ from meta_learning_pacoh_tpu.models.neural_process import (
 )
 from meta_learning_pacoh_tpu.ops.distributions import AffineTransformed, Normal
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 class NPRegressionMetaLearned(RegressionModelMetaLearned):
@@ -59,25 +60,31 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         )
         self._train_key = self._next_key()
 
-        schedule = make_lr_schedule(lr_params, lr_decay)
-        if optimizer == "Adam":
-            self._opt = optax.adamw(schedule, weight_decay=weight_decay)
-        else:
-            self._opt = optax.sgd(schedule)
+        def build_opt():
+            schedule = make_lr_schedule(lr_params, lr_decay)
+            if optimizer == "Adam":
+                return optax.adamw(schedule, weight_decay=weight_decay)
+            return optax.sgd(schedule)
+
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches
+        opt_key = (optimizer, lr_params, lr_decay, weight_decay)
+        self._opt = shared(("npr.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.params)
-        self._step_fn = self._build_step_fn()
-        self._predict_fn = jax.jit(np_predict)
-        self._batch_eval_fn = self._build_batch_eval_fn()
+        self._step_fn = shared(
+            ("npr.step",) + opt_key + (task_batch_size, self.n_tasks),
+            self._build_step_fn,
+        )
+        self._predict_fn = shared(("npr.predict",), lambda: jax.jit(np_predict))
+        self._batch_eval_fn = shared(("npr.batch_eval",), self._build_batch_eval_fn)
         self._step_count = 0
 
     # ------------------------------------------------------------- train step
     def _build_step_fn(self):
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
-        num_context_arr = jnp.asarray(self.num_context_per_task)
-        mask_all = self.mask
         opt = self._opt
 
-        def single_step(carry, key, X, Y):
+        def single_step(carry, key, X, Y, M, num_context_arr):
             params, opt_state = carry
             k_task, k_split = jax.random.split(key)
             idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
@@ -86,8 +93,7 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
                 keys = jax.random.split(k_split, batch_size)
                 losses = jax.vmap(
                     lambda k, x, y, nc, m: np_elbo_loss(p, k, x, y, nc, mask=m)
-                )(keys, X[idx], Y[idx], num_context_arr[idx],
-                  jnp.asarray(mask_all)[idx])
+                )(keys, X[idx], Y[idx], num_context_arr[idx], M[idx])
                 return jnp.sum(losses)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -96,12 +102,13 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
             return (params, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(params, opt_state, X, Y, base_key, start_step, n_steps):
+        def run_chunk(params, opt_state, X, Y, M, num_context_arr, base_key,
+                      start_step, n_steps):
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
 
             def body(carry, key):
-                return single_step(carry, key, X, Y)
+                return single_step(carry, key, X, Y, M, num_context_arr)
 
             (params, opt_state), losses = jax.lax.scan(
                 body, (params, opt_state), keys
@@ -121,6 +128,7 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
             chunk = int(min(log_period, remaining))
             self.params, self.opt_state, losses = self._step_fn(
                 self.params, self.opt_state, self.X, self.Y,
+                jnp.asarray(self.mask), jnp.asarray(self.num_context_per_task),
                 self._train_key, self._step_count, chunk
             )
             remaining -= chunk
@@ -148,13 +156,12 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         """Whole-test-set NP evaluation in one jitted lax.map. Matches eval()
         semantics: per-point avg log-density (flatten_y=False convention),
         z ~ q(z | context) sampled per task."""
-        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
         from meta_learning_pacoh_tpu.ops.metrics import (
             _normal_cdf, calib_error_from_cdf,
         )
 
         @jax.jit
-        def batch_eval(params, key, CX, CY, TX, TY):
+        def batch_eval(params, key, CX, CY, TX, TY, y_mean, y_std):
             keys = jax.random.split(key, CX.shape[0])
 
             def one(args):
@@ -174,7 +181,10 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         return batch_eval
 
     def _run_batch_eval(self, CX, CY, TX, TY):
-        return self._batch_eval_fn(self.params, self._next_key(), CX, CY, TX, TY)
+        return self._batch_eval_fn(
+            self.params, self._next_key(), CX, CY, TX, TY,
+            float(self.y_mean[0]), float(self.y_std[0]),
+        )
 
     # ---------------------------------------------------------------- predict
     def predict(self, context_x, context_y, test_x, return_density=False):

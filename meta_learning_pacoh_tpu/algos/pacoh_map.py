@@ -37,6 +37,7 @@ from meta_learning_pacoh_tpu.ops.distributions import (
     Normal,
 )
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 def make_lr_schedule(lr, lr_decay):
@@ -108,10 +109,21 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         # the run is bit-identical regardless of log_period chunking (the
         # reference's determinism contract, tests/test_GPR.py:173-187).
         self._train_key = self._next_key()
-        self._setup_optimizer(optimizer, lr_params, lr_decay)
-        self._step_fn = self._build_step_fn()
-        self._predict_fn = self._build_predict_fn()
-        self._batch_eval_fn = self._build_batch_eval_fn()
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches
+        opt_key = (self.cfg, learning_mode, optimizer, lr_params, lr_decay,
+                   weight_decay)
+        self._setup_optimizer(optimizer, lr_params, lr_decay, opt_key)
+        self._step_fn = shared(
+            ("pacoh_map.step",) + opt_key + (self.task_batch_size, self.n_tasks),
+            self._build_step_fn,
+        )
+        self._predict_fn = shared(
+            ("pacoh_map.predict", self.cfg), self._build_predict_fn
+        )
+        self._batch_eval_fn = shared(
+            ("pacoh_map.batch_eval", self.cfg), self._build_batch_eval_fn
+        )
         self._step_count = 0
 
     # ------------------------------------------------------------------ setup
@@ -142,17 +154,21 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             )
         return labels
 
-    def _setup_optimizer(self, optimizer, lr, lr_decay):
-        schedule = make_lr_schedule(lr, lr_decay)
-        if optimizer == "Adam":
-            # torch.optim.AdamW(groups, lr, weight_decay=wd): every group decays
-            # (reference: GPR_meta_mll.py:255)
-            base = optax.adamw(schedule, weight_decay=self.weight_decay)
-        else:
-            base = optax.sgd(schedule)
-        self._opt = optax.multi_transform(
-            {"train": base, "freeze": optax.set_to_zero()}, self._trainable_mask()
-        )
+    def _setup_optimizer(self, optimizer, lr, lr_decay, opt_key):
+        def build():
+            schedule = make_lr_schedule(lr, lr_decay)
+            if optimizer == "Adam":
+                # torch.optim.AdamW(groups, lr, weight_decay=wd): every group
+                # decays (reference: GPR_meta_mll.py:255)
+                base = optax.adamw(schedule, weight_decay=self.weight_decay)
+            else:
+                base = optax.sgd(schedule)
+            return optax.multi_transform(
+                {"train": base, "freeze": optax.set_to_zero()},
+                self._trainable_mask(),
+            )
+
+        self._opt = shared(("pacoh_map.opt",) + opt_key, build)
         self.opt_state = self._opt.init(self.params)
 
     # ------------------------------------------------------------- train step
@@ -249,11 +265,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
 
     def _build_batch_eval_fn(self):
         cfg = self.cfg
-        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
         from meta_learning_pacoh_tpu.ops.metrics import gp_eval_metrics
 
         @jax.jit
-        def batch_eval(params, CX, CY, TX, TY):
+        def batch_eval(params, CX, CY, TX, TY, y_mean, y_std):
             def one(cx, cy, tx, ty):
                 mean, cov = gp_predict(cfg, params, cx, cy, tx)
                 return gp_eval_metrics(mean, cov, ty, y_mean, y_std)
@@ -265,7 +280,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         return batch_eval
 
     def _run_batch_eval(self, CX, CY, TX, TY):
-        return self._batch_eval_fn(self.params, CX, CY, TX, TY)
+        return self._batch_eval_fn(
+            self.params, CX, CY, TX, TY,
+            float(self.y_mean[0]), float(self.y_std[0]),
+        )
 
     def predict(self, context_x, context_y, test_x, return_density=False):
         """Posterior-predictive p(y* | x*, context) in original y units."""

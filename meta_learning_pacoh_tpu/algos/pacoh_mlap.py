@@ -58,6 +58,7 @@ from meta_learning_pacoh_tpu.ops.distributions import (
     Normal,
 )
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 _N_AGG_SAMPLES = 20  # hyper-posterior samples for prior aggregation (ref :244)
 
@@ -70,7 +71,12 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
                  covar_module="SE", mean_module="zero", mean_nn_layers=(32, 32),
                  kernel_nn_layers=(32, 32), optimizer="Adam", lr=1e-3, lr_decay=1.0,
                  svi_batch_size=5, cov_type="diag", task_batch_size=-1,
-                 likelihood_noise_init=0.01, normalize_data=True, random_seed=None):
+                 likelihood_noise_init=0.01, normalize_data=True, random_seed=None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis — shards the
+        meta-train tensors, the per-task variational posteriors, AND the
+        vmapped meta-test inference (MLAP's dominant eval cost) over devices;
+        requires task_batch_size=-1 (full batch)."""
         super().__init__(normalize_data, random_seed)
 
         # the RandomGP flavor supports NN/constant means; 'zero' maps to a
@@ -96,6 +102,17 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         else:
             self.task_batch_size = min(task_batch_size, self.n_tasks)
 
+        self._mesh = mesh
+        if mesh is not None:
+            assert self.task_batch_size == self.n_tasks, (
+                "mesh-sharded training requires task_batch_size=-1 (full batch)"
+            )
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            self.X, self.Y, self.mask = shard_task_batch(
+                mesh, self.X, self.Y, self.mask
+            )
+
         self.cfg = random_gp_config(
             self.input_dim, feature_dim=feature_dim, mean_module=mean_module,
             covar_module=covar_module, mean_nn_layers=mean_nn_layers,
@@ -117,10 +134,34 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             "q_means": q_means,
             "q_trils": q_trils,
         }
+        if mesh is not None:
+            # per-task posteriors ride the task axis next to their data;
+            # the hyper-posterior and noise stay replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s_task = NamedSharding(mesh, P("task"))
+            self.params["q_means"] = jax.device_put(q_means, s_task)
+            self.params["q_trils"] = jax.device_put(q_trils, s_task)
         self._train_key = self._next_key()
-        self._setup_optimizer(optimizer, lr, lr_decay, posterior_lr_multiplier)
-        self._step_fn = self._build_step_fn()
-        self._meta_test_fn = self._build_meta_test_fn()
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches
+        hp_key = (self.cfg, weight_prior_std, bias_prior_std)
+        opt_key = (optimizer, lr, lr_decay, posterior_lr_multiplier, cov_type)
+        bound_key = (svi_batch_size, task_kl_weight, meta_kl_weight, delta)
+        self._setup_optimizer(optimizer, lr, lr_decay, posterior_lr_multiplier,
+                              opt_key)
+        self._step_fn = shared(
+            ("mlap.step",) + hp_key + opt_key + bound_key
+            + (self.task_batch_size, self.n_tasks),
+            self._build_step_fn,
+        )
+        self._meta_test_fn = shared(
+            ("mlap.meta_test",) + hp_key + bound_key + (self.n_tasks,),
+            self._build_meta_test_fn,
+        )
+        self._batch_metrics_fn = shared(
+            ("mlap.batch_metrics",) + hp_key, self._build_batch_metrics_fn
+        )
         self._step_count = 0
 
     # --------------------------------------------------------------- helpers
@@ -199,19 +240,24 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         return -avg_ll + complexity, avg_ll, kl_inner
 
     # ------------------------------------------------------------------ setup
-    def _setup_optimizer(self, optimizer, lr, lr_decay, posterior_lr_multiplier):
-        schedule = make_lr_schedule(lr, lr_decay)
-        post_schedule = make_lr_schedule(lr * posterior_lr_multiplier, lr_decay)
-        make = optax.adam if optimizer == "Adam" else optax.sgd
-        labels = {
-            "hyper_post": jax.tree.map(lambda _: "main", self.params["hyper_post"]),
-            "raw_noise": "main",
-            "q_means": "posterior",
-            "q_trils": "posterior",
-        }
-        self._opt = optax.multi_transform(
-            {"main": make(schedule), "posterior": make(post_schedule)}, labels
-        )
+    def _setup_optimizer(self, optimizer, lr, lr_decay, posterior_lr_multiplier,
+                         opt_key):
+        def build():
+            schedule = make_lr_schedule(lr, lr_decay)
+            post_schedule = make_lr_schedule(lr * posterior_lr_multiplier, lr_decay)
+            make = optax.adam if optimizer == "Adam" else optax.sgd
+            labels = {
+                "hyper_post": jax.tree.map(lambda _: "main",
+                                           self.params["hyper_post"]),
+                "raw_noise": "main",
+                "q_means": "posterior",
+                "q_trils": "posterior",
+            }
+            return optax.multi_transform(
+                {"main": make(schedule), "posterior": make(post_schedule)}, labels
+            )
+
+        self._opt = shared(("mlap.opt",) + opt_key, build)
         self.opt_state = self._opt.init(self.params)
 
     # ------------------------------------------------------------- train step
@@ -359,12 +405,51 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
 
         return run_inference
 
+    def _build_batch_metrics_fn(self):
+        """All-task predictive metrics in one jitted lax.map; every
+        data-dependent quantity (theta samples, contexts, posteriors, noise,
+        y stats) is a runtime argument so the compiled fn is shared across
+        instances and eval calls."""
+        from meta_learning_pacoh_tpu.ops.metrics import gp_eval_metrics
+
+        @jax.jit
+        def batch_metrics(theta, Xc, Mc, q_means, q_trils, noise_var, TX, TY,
+                          y_mean, y_std):
+            nc = Xc.shape[1]
+
+            def one(args):
+                xc, mc, qm, qt, tx, ty = args
+                x_all = jnp.concatenate([xc, tx], axis=0)
+                mask_all = jnp.concatenate(
+                    [mc, jnp.ones(tx.shape[0], mc.dtype)]
+                )
+                mean_all, cov_all = self._prior_moments(theta, x_all,
+                                                        mask=mask_all)
+                m2c = mc[:, None] * mc[None, :]
+                qt_eff = jnp.tril(qt) * m2c + jnp.diag(1.0 - mc)
+                m, c = svgp_predict(
+                    qm * mc, qt_eff, mean_all[:nc], cov_all[:nc, :nc],
+                    cov_all[:nc, nc:], mean_all[nc:], cov_all[nc:, nc:],
+                )
+                c = c + noise_var * jnp.eye(c.shape[-1])
+                return gp_eval_metrics(m, c, ty, y_mean, y_std)
+
+            return jax.lax.map(one, (Xc, Mc, q_means, q_trils, TX, TY))
+
+        return batch_metrics
+
     def _meta_test_inference(self, context_tuples, n_iter=3000, lr=1e-2):
         """Fit per-task posteriors for the given contexts; returns the task
         state needed for prediction. All tasks (ragged ones padded + masked)
         optimized in ONE vmapped scan."""
         Xc, Yc, Mc = self._prepare_meta_data(context_tuples)
         Xc, Yc, Mc = jnp.asarray(Xc), jnp.asarray(Yc), jnp.asarray(Mc)
+        if self._mesh is not None and Xc.shape[0] % self._mesh.shape["task"] == 0:
+            # shard the meta-test tasks: the 3000-step vmapped inner Adam
+            # (MLAP's dominant eval cost) then runs task-parallel across chips
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            Xc, Yc, Mc = shard_task_batch(self._mesh, Xc, Yc, Mc)
 
         k_init, k_opt, k_theta = jax.random.split(self._next_key(), 3)
         theta_agg = posterior_rsample(self.params["hyper_post"], k_theta, _N_AGG_SAMPLES)
@@ -434,37 +519,11 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         if len({tx.shape for tx, _ in test_prepared}) == 1:
             TX = jnp.stack([jnp.asarray(self._normalize_x(tx)) for tx, _ in test_prepared])
             TY = jnp.stack([jnp.asarray(ty.flatten()) for _, ty in test_prepared])
-            y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
-            noise_var = self._noise_var(self.params["raw_noise"])
-            theta, Xc, Mc = (task_state["theta_agg"], task_state["Xc"],
-                             task_state["Mc"])
-            nc = Xc.shape[1]
-
-            @jax.jit
-            def batch_metrics(q_means, q_trils, tx_all, ty_all):
-                def one(args):
-                    xc, mc, qm, qt, tx, ty = args
-                    x_all = jnp.concatenate([xc, tx], axis=0)
-                    mask_all = jnp.concatenate(
-                        [mc, jnp.ones(tx.shape[0], mc.dtype)]
-                    )
-                    mean_all, cov_all = self._prior_moments(theta, x_all,
-                                                            mask=mask_all)
-                    m2c = mc[:, None] * mc[None, :]
-                    qt_eff = jnp.tril(qt) * m2c + jnp.diag(1.0 - mc)
-                    m, c = svgp_predict(
-                        qm * mc, qt_eff, mean_all[:nc], cov_all[:nc, :nc],
-                        cov_all[:nc, nc:], mean_all[nc:], cov_all[nc:, nc:],
-                    )
-                    c = c + noise_var * jnp.eye(c.shape[-1])
-                    return gp_eval_metrics(m, c, ty, y_mean, y_std)
-
-                return jax.lax.map(
-                    one, (Xc, Mc, q_means, q_trils, tx_all, ty_all)
-                )
-
-            lls, rmses, calibs = batch_metrics(
-                task_state["q_means"], task_state["q_trils"], TX, TY
+            lls, rmses, calibs = self._batch_metrics_fn(
+                task_state["theta_agg"], task_state["Xc"], task_state["Mc"],
+                task_state["q_means"], task_state["q_trils"],
+                self._noise_var(self.params["raw_noise"]), TX, TY,
+                float(self.y_mean[0]), float(self.y_std[0]),
             )
             return (float(jnp.mean(lls)), float(jnp.mean(rmses)),
                     float(jnp.mean(calibs)))

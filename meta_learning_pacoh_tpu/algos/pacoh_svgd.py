@@ -40,6 +40,7 @@ from meta_learning_pacoh_tpu.ops.distributions import (
 )
 from meta_learning_pacoh_tpu.ops.svgd import svgd_phi
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
@@ -96,13 +97,28 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         self.particles = self.hyper_prior.sample(self._next_key(), (num_particles,))
         self._train_key = self._next_key()
 
-        schedule = make_lr_schedule(lr, lr_decay)
-        self._opt = optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+        def build_opt():
+            schedule = make_lr_schedule(lr, lr_decay)
+            return optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches
+        hp_key = (self.cfg, weight_prior_std, bias_prior_std)
+        opt_key = (optimizer, lr, lr_decay)
+        self._opt = shared(("pacoh_svgd.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.particles)
 
-        self._step_fn = self._build_step_fn()
-        self._predict_fn = self._build_predict_fn()
-        self._batch_eval_fn = self._build_batch_eval_fn()
+        self._step_fn = shared(
+            ("pacoh_svgd.step",) + hp_key + opt_key
+            + (prior_factor, kernel, bandwidth, self.task_batch_size, self.n_tasks),
+            self._build_step_fn,
+        )
+        self._predict_fn = shared(
+            ("pacoh_svgd.predict",) + hp_key, self._build_predict_fn
+        )
+        self._batch_eval_fn = shared(
+            ("pacoh_svgd.batch_eval",) + hp_key, self._build_batch_eval_fn
+        )
         self._step_count = 0
 
 
@@ -199,11 +215,10 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
 
     def _build_batch_eval_fn(self):
         cfg, hyper_prior = self.cfg, self.hyper_prior
-        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
         from meta_learning_pacoh_tpu.ops.metrics import mixture_eval_metrics
 
         @jax.jit
-        def batch_eval(particles, CX, CY, TX, TY):
+        def batch_eval(particles, CX, CY, TX, TY, y_mean, y_std):
             def one(cx, cy, tx, ty):
                 def per_particle(flat):
                     params = hyper_prior.unravel(flat)
@@ -219,7 +234,10 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         return batch_eval
 
     def _run_batch_eval(self, CX, CY, TX, TY):
-        return self._batch_eval_fn(self.particles, CX, CY, TX, TY)
+        return self._batch_eval_fn(
+            self.particles, CX, CY, TX, TY,
+            float(self.y_mean[0]), float(self.y_std[0]),
+        )
 
     def predict(self, context_x, context_y, test_x, return_density=False):
         """Mixture-over-particles posterior predictive, in original y units."""

@@ -42,6 +42,7 @@ from meta_learning_pacoh_tpu.ops.distributions import (
     Normal,
 )
 from meta_learning_pacoh_tpu.utils.input_handling import handle_input_dim
+from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 
 class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
@@ -98,13 +99,29 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         )
         self._train_key = self._next_key()
 
-        schedule = make_lr_schedule(lr, lr_decay)
-        self._opt = optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+        def build_opt():
+            schedule = make_lr_schedule(lr, lr_decay)
+            return optax.adam(schedule) if optimizer == "Adam" else optax.sgd(schedule)
+
+        # jit functions are memoized on their full static config so learner
+        # instances with identical configs share XLA compile caches
+        hp_key = (self.cfg, weight_prior_std, bias_prior_std)
+        opt_key = (optimizer, lr, lr_decay)
+        self._opt = shared(("pacoh_vi.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.posterior)
 
-        self._step_fn = self._build_step_fn()
-        self._predict_fn = self._build_predict_fn()
-        self._batch_eval_fn = self._build_batch_eval_fn()
+        self._step_fn = shared(
+            ("pacoh_vi.step",) + hp_key + opt_key
+            + (prior_factor, svi_batch_size, cov_type,
+               self.task_batch_size, self.n_tasks),
+            self._build_step_fn,
+        )
+        self._predict_fn = shared(
+            ("pacoh_vi.predict",) + hp_key, self._build_predict_fn
+        )
+        self._batch_eval_fn = shared(
+            ("pacoh_vi.batch_eval",) + hp_key, self._build_batch_eval_fn
+        )
         self._step_count = 0
 
 
@@ -213,11 +230,10 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
 
     def _build_batch_eval_fn(self, n_posterior_samples=100):
         cfg, hyper_prior = self.cfg, self.hyper_prior
-        y_mean, y_std = float(self.y_mean[0]), float(self.y_std[0])
         from meta_learning_pacoh_tpu.ops.metrics import mixture_eval_metrics
 
         @jax.jit
-        def batch_eval(post, key, CX, CY, TX, TY):
+        def batch_eval(post, key, CX, CY, TX, TY, y_mean, y_std):
             # one shared set of posterior samples across all eval tasks
             samples = posterior_rsample(post, key, n_posterior_samples)
 
@@ -235,7 +251,10 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         return batch_eval
 
     def _run_batch_eval(self, CX, CY, TX, TY):
-        return self._batch_eval_fn(self.posterior, self._next_key(), CX, CY, TX, TY)
+        return self._batch_eval_fn(
+            self.posterior, self._next_key(), CX, CY, TX, TY,
+            float(self.y_mean[0]), float(self.y_std[0]),
+        )
 
     def predict(self, context_x, context_y, test_x, n_posterior_samples=100,
                 mode="Bayes", return_density=False):

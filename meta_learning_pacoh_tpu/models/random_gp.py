@@ -22,6 +22,7 @@ and each MLL_t divided by its task size (gpytorch convention).
 """
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -73,13 +74,18 @@ class HyperPrior:
         return self.loc + self.scale * jax.random.normal(key, shape, self.loc.dtype)
 
 
+@functools.lru_cache(maxsize=None)
 def make_hyper_prior(cfg: GPConfig, weight_prior_std=1.0, bias_prior_std=3.0):
     """Build the block hyper-prior aligned with the flat parameter layout.
 
     Deliberately zero-device: the template comes from `jax.eval_shape` (no
     RNG execution) and the loc/scale blocks are numpy, so constructing a
     learner never forces a device readback (on tunneled TPU runtimes the
-    first device->host sync of a process can stall for minutes)."""
+    first device->host sync of a process can stall for minutes).
+
+    Memoized: the returned HyperPrior (treat as immutable) is shared across
+    learner instances so functions closing over it key their jit caches on
+    (cfg, stds) alone."""
     import numpy as np
 
     shapes = jax.eval_shape(lambda: init_gp_params(cfg, jax.random.PRNGKey(0)))
