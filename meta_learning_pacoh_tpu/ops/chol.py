@@ -27,6 +27,18 @@ def _cholesky_impl(a):
         from meta_learning_pacoh_tpu.ops.pallas.chol_kernel import cholesky_pallas
 
         return cholesky_pallas(a)
+    if (
+        config.pallas_enabled()
+        and config.PALLAS_CHOL_MAX_N < n
+        and a.dtype == jnp.float32
+    ):
+        from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+            BLOCKED_MAX_N,
+            blocked_cholesky,
+        )
+
+        if n <= BLOCKED_MAX_N:
+            return blocked_cholesky(a)
     return jnp.linalg.cholesky(a)
 
 

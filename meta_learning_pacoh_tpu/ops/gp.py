@@ -84,6 +84,20 @@ def gp_mll(mean, K, y, noise_var, mask=None, jitter=1e-6):
         L = unrolled_cholesky(Kn + jit_sel * eye)
         z = unrolled_solve_lower(L, r)
     else:
+        from meta_learning_pacoh_tpu import config
+        from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+            BLOCKED_MAX_N,
+            BLOCKED_MIN_N,
+            blocked_mll_quad_logdet,
+        )
+
+        if (config.pallas_enabled() and BLOCKED_MIN_N <= n <= BLOCKED_MAX_N
+                and y.dtype == jnp.float32):
+            # large-N single system (e.g. swissfel single-task training):
+            # the blocked Pallas kernel, B=1 (in-kernel jitter escalation)
+            quad, logdet = blocked_mll_quad_logdet(Kn[None], r[None])
+            ll = -0.5 * (quad[0] + logdet[0] + n_eff * _LOG_2PI)
+            return ll / n_eff
         # escalating jitter: sampled GP-prior params can drive the likelihood
         # noise to ~0 (softplus, no floor on the random-GP flavor), where the
         # base 1e-6 jitter under-regularizes the f32 factorization
@@ -110,14 +124,25 @@ def gp_mll_batch(mean, K, y, noise_var, mask=None, jitter=1e-6):
         mll_quad_logdet,
     )
 
+    from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+        BLOCKED_MAX_N,
+        BLOCKED_MIN_N,
+        blocked_mll_quad_logdet,
+    )
+
     n = y.shape[-1]
     noise_b = jnp.broadcast_to(jnp.asarray(noise_var), y.shape[:-1])
-    use_kernel = (
+    use_lane = (
         config.pallas_enabled()
         and MLL_KERNEL_MIN_N <= n <= MLL_KERNEL_MAX_N
         and y.dtype == jnp.float32
     )
-    if not use_kernel:
+    use_blocked = (
+        config.pallas_enabled()
+        and BLOCKED_MIN_N <= n <= BLOCKED_MAX_N
+        and y.dtype == jnp.float32
+    )
+    if not (use_lane or use_blocked):
         return jax.vmap(gp_mll, in_axes=(0, 0, 0, 0, 0 if mask is not None else None,
                                          None))(mean, K, y, noise_b, mask, jitter)
 
@@ -129,7 +154,8 @@ def gp_mll_batch(mean, K, y, noise_var, mask=None, jitter=1e-6):
         n_eff = jnp.sum(mask, axis=-1)
     else:
         n_eff = jnp.full(y.shape[:-1], float(n), dtype=y.dtype)
-    quad, logdet = mll_quad_logdet(Kn, r)
+    quad_logdet = mll_quad_logdet if use_lane else blocked_mll_quad_logdet
+    quad, logdet = quad_logdet(Kn, r)
     ll = -0.5 * (quad + logdet + n_eff * _LOG_2PI)
     return ll / n_eff
 

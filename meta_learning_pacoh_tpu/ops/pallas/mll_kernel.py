@@ -107,15 +107,27 @@ def _mll_fwd_kernel(kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref):
     k3 = rows[:, :1, :]  # [N, 1, 1]
     eye_t = jnp.where(rows == cols, 1.0, 0.0)
 
-    # three jitter levels factored lane-parallel; first finite diag wins
-    Ls = [_lane_chol(Kt + j * eye_t, rows, cols) for j in _JITTERS]
-
     def diag_ok(L):
         d = jnp.sum(jnp.where(rows == cols, L, 0.0), axis=1, keepdims=True)  # [N,1,B]
         fin = (jnp.isfinite(d) & (d > 0.0)).astype(jnp.float32)
         return jnp.min(fin, axis=0, keepdims=True) > 0.5  # [1, 1, B]
 
-    L = jnp.where(diag_ok(Ls[0]), Ls[0], jnp.where(diag_ok(Ls[1]), Ls[1], Ls[2]))
+    # single-factorization fast path: jitter escalation (gpytorch psd-safe
+    # semantics, levels 0 -> 1e-4 -> 1e-2 per lane) only runs in the rare
+    # branch where some lane's no-jitter factorization failed
+    L0 = _lane_chol(Kt, rows, cols)
+    ok0 = diag_ok(L0)
+
+    def escalate(L0_ok):
+        L0_, ok0_ = L0_ok
+        L1 = _lane_chol(Kt + _JITTERS[1] * eye_t, rows, cols)
+        L2 = _lane_chol(Kt + _JITTERS[2] * eye_t, rows, cols)
+        return jnp.where(ok0_, L0_, jnp.where(diag_ok(L1), L1, L2))
+
+    L = jax.lax.cond(
+        jnp.min(ok0.astype(jnp.float32)) > 0.5,
+        lambda L0_ok: L0_ok[0], escalate, (L0, ok0),
+    )
 
     z = _solve_lower(L, rt, rows, k3)  # [N, 1, B]
     quad = jnp.sum(z * z, axis=0, keepdims=True)  # [1, 1, B]
