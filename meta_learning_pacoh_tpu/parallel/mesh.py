@@ -25,6 +25,33 @@ from meta_learning_pacoh_tpu.models.random_gp import meta_log_prob
 from meta_learning_pacoh_tpu.ops.svgd import svgd_phi
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, local_device_ids=None):
+    """Multi-host entry point: the TPU-native replacement for the reference's
+    Ray cluster layer (SURVEY.md §2.5 comm backend).
+
+    On a multi-host TPU slice, call this once per host before building any
+    mesh; afterwards `jax.devices()` is the GLOBAL device list, so
+    `make_mesh()` spans the slice and the same GSPMD-sharded training steps
+    run unchanged — XLA routes the task/particle collectives over ICI within
+    a slice and DCN across slices.
+
+    Single-host degenerate path: with no coordinator (or num_processes <= 1)
+    this is a documented no-op — `jax.devices()` already lists every local
+    chip and nothing needs to rendezvous. TPU pod environments usually set
+    the coordinator env vars, in which case bare
+    `jax.distributed.initialize()` autodetects everything.
+    """
+    if coordinator_address is None and (num_processes is None or num_processes <= 1):
+        return  # single host: nothing to rendezvous
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
 def make_mesh(n_devices=None, particle_parallel=False):
     """1-D task mesh, or 2-D (task, particle) mesh when asked and divisible."""
     devices = jax.devices()

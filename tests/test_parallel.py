@@ -85,6 +85,53 @@ class TestShardedSVGD:
         b = np.asarray(m_shard.params["lengthscale_raw"])
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
+    def test_sharded_map_matches_unsharded_2d_mesh(self, devices_ok):
+        """MAP on the 2-D (task, particle) mesh: the task tensor shards over
+        the 'task' axis, params replicate over both — results must match the
+        single-device run."""
+        from meta_learning_pacoh_tpu import GPRegressionMetaLearned
+        from meta_learning_pacoh_tpu.parallel.mesh import make_mesh
+
+        train = _tasks()
+        m_plain = GPRegressionMetaLearned(train, num_iter_fit=30, random_seed=5,
+                                          task_batch_size=-1)
+        m_plain.meta_fit(verbose=False)
+        mesh = make_mesh(8, particle_parallel=True)
+        assert mesh.axis_names == ("task", "particle")
+        m_shard = GPRegressionMetaLearned(train, num_iter_fit=30, random_seed=5,
+                                          task_batch_size=-1, mesh=mesh)
+        m_shard.meta_fit(verbose=False)
+        a, _ = m_plain.predict(*train[0], train[1][0])
+        b, _ = m_shard.predict(*train[0], train[1][0])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_sharded_mlap_matches_unsharded(self, devices_ok):
+        """MLAP with mesh=: sharded meta-train AND sharded meta-test
+        inference match the single-device run (VERDICT round-1 item 5)."""
+        from meta_learning_pacoh_tpu import GPRegressionMetaLearnedPAC
+        from meta_learning_pacoh_tpu.parallel.mesh import make_mesh
+
+        train = _tasks(n_tasks=8)
+        test = [(x[:4], y[:4], x[4:], y[4:]) for x, y in _tasks(n_tasks=8, seed=3)]
+
+        m_plain = GPRegressionMetaLearnedPAC(train, num_iter_fit=20,
+                                             random_seed=9, task_batch_size=-1)
+        m_plain.meta_fit(verbose=False)
+        ll_p, rmse_p, _ = m_plain.eval_datasets(test, n_iter_meta_test=50)
+
+        m_shard = GPRegressionMetaLearnedPAC(train, num_iter_fit=20,
+                                             random_seed=9, task_batch_size=-1,
+                                             mesh=make_mesh(8))
+        m_shard.meta_fit(verbose=False)
+        ll_s, rmse_s, _ = m_shard.eval_datasets(test, n_iter_meta_test=50)
+
+        np.testing.assert_allclose(
+            np.asarray(m_plain.params["q_means"]),
+            np.asarray(m_shard.params["q_means"]), rtol=1e-4, atol=1e-5,
+        )
+        assert abs(ll_p - ll_s) < 1e-3
+        assert abs(rmse_p - rmse_s) < 1e-3
+
     def test_parallel_step_builder(self, devices_ok):
         import optax
 
