@@ -42,26 +42,82 @@ def main():
 
     ll, rmse, calib = m.eval_datasets(meta_test)
 
-    # driver micro-metric (BASELINE.json): batched Cholesky+LML gradient, us
+    # driver micro-metric (BASELINE.json): batched Cholesky+LML gradient, us.
+    # 20 iterations fused into one lax.scan dispatch so the number is device
+    # time, not the tunneled per-dispatch overhead.
     import jax
     import jax.numpy as jnp
 
     from meta_learning_pacoh_tpu.ops.gp import gp_mll_batch
 
-    B, N = 200, 20
-    rs = np.random.RandomState(0)
-    A = rs.randn(B, N + 3, N).astype(np.float32)
-    K = jnp.asarray(np.einsum("bin,bim->bnm", A, A) / N)
-    mean = jnp.zeros((B, N))
-    yv = jnp.asarray(rs.randn(B, N).astype(np.float32))
-    grad_fn = jax.jit(jax.grad(lambda k: jnp.sum(gp_mll_batch(mean, k, yv, 0.3))))
-    g = grad_fn(K)
-    float(g[0, 0, 0])  # compile + fence
+    def mll_grad_us(B, N, reps=20):
+        rs = np.random.RandomState(0)
+        A = rs.randn(B, N + 3, N).astype(np.float32)
+        K = jnp.asarray(np.einsum("bin,bim->bnm", A, A) / N
+                        + 0.5 * np.eye(N, dtype=np.float32))
+        mean = jnp.zeros((B, N))
+        yv = jnp.asarray(rs.randn(B, N).astype(np.float32))
+
+        @jax.jit
+        def many(K):
+            def body(c, _):
+                g = jax.grad(
+                    lambda k: jnp.sum(gp_mll_batch(mean, k, yv, 0.3))
+                )(K + c * 1e-30)
+                return c + g[0, 0, 0], None
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+            return c
+
+        float(many(K))  # compile + fence
+        t0 = time.time()
+        float(many(K))
+        return (time.time() - t0) / reps * 1e6
+
+    mll_grad_us_n20 = mll_grad_us(200, 20)
+    mll_grad_us_n200 = mll_grad_us(200, 200)  # blocked Pallas window
+
+    # measured per-algorithm table (reference analog:
+    # experiments/compuational_comparison.py:46-99): warm per-iteration
+    # meta-train cost + MLAP per-task meta-test cost on sin_20
+    per_iter_ms = {}
+    from meta_learning_pacoh_tpu import (
+        GPRegressionMetaLearned,
+        GPRegressionMetaLearnedPAC,
+        GPRegressionMetaLearnedVI,
+    )
+
+    algos = {
+        "map": lambda: GPRegressionMetaLearned(
+            meta_train, num_iter_fit=2000, random_seed=1),
+        "svgd": lambda: m,  # reuse the fitted flagship model
+        "vi": lambda: GPRegressionMetaLearnedVI(
+            meta_train, num_iter_fit=2000, random_seed=1),
+        "mlap": lambda: GPRegressionMetaLearnedPAC(
+            meta_train, num_iter_fit=2000, random_seed=1,
+            covar_module="NN", mean_module="NN", meta_kl_weight=1e-3),
+    }
+    mlap_model = None
+    for name, build in algos.items():
+        model = build()
+        if name == "mlap":
+            mlap_model = model
+        model.meta_fit(verbose=False, log_period=1000, n_iter=1000)  # warm
+        t0 = time.time()
+        model.meta_fit(verbose=False, log_period=1000, n_iter=1000)
+        state = model.particles if name == "svgd" else (
+            model.params if name != "vi" else model.posterior)
+        leaf = jax.tree.leaves(state)[0]
+        float(jnp.asarray(leaf).ravel()[0])  # readback fence
+        # seconds for 1000 iterations == milliseconds per iteration
+        per_iter_ms[name] = round(time.time() - t0, 4)
+
+    # MLAP meta-test: 3000-step inner Adam for 5 tasks in one vmapped scan
+    ctx = [t[:2] for t in meta_test[:5]]
+    mlap_model._meta_test_inference(ctx, n_iter=10)  # compile warm-up
     t0 = time.time()
-    for _ in range(50):
-        g = grad_fn(K)
-    float(g[0, 0, 0])
-    mll_grad_us = (time.time() - t0) / 50 * 1e6
+    st = mlap_model._meta_test_inference(ctx, n_iter=3000)
+    float(jnp.asarray(st["q_means"]).ravel()[0])
+    mlap_meta_test_s_per_task = (time.time() - t0) / len(ctx)
 
     baseline_steps_per_sec = 10000 / 60.0  # north-star: 10k-iter fit in <60 s
     print(json.dumps({
@@ -74,7 +130,11 @@ def main():
             "test_ll": round(ll, 4),
             "test_rmse": round(rmse, 4),
             "calib_err": round(calib, 4),
-            "batched_chol_lml_grad_us_B200_N20": round(mll_grad_us, 1),
+            "batched_chol_lml_grad_us_B200_N20": round(mll_grad_us_n20, 1),
+            "batched_chol_lml_grad_us_B200_N200": round(mll_grad_us_n200, 1),
+            "per_iter_ms": per_iter_ms,
+            "mlap_meta_test_s_per_task_3000steps": round(
+                mlap_meta_test_s_per_task, 3),
         },
     }))
 

@@ -30,30 +30,40 @@ flags.DEFINE_string("output_csv", "./meta_overfitting.csv", "output CSV")
 
 
 def run_one(algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test):
+    """Reference protocol (meta_GPR_overfitting_base.py:75-110): the
+    meta-train tasks come as (context, test) 4-tuples; training sees only the
+    contexts, and BOTH the held-out points of the training tasks
+    (*_meta_train, the overfitting probe) and fresh tasks (*_meta_test) are
+    evaluated."""
     from meta_learning_pacoh_tpu import (
         GPRegressionMetaLearned, MAMLRegression, NPRegressionMetaLearned,
     )
 
-    train, _, test = provide_data(f"{dataset}_{n_tasks}", seed=seed)
+    _, valid, test = provide_data(f"{dataset}_{n_tasks}", seed=seed)
+    meta_train_tuples = valid[:n_tasks]  # 4-tuples; contexts train the prior
+    train = [(cx, cy) for cx, cy, _, _ in meta_train_tuples]
     test = test[:n_test]
     if algo == "pacoh_map":
         m = GPRegressionMetaLearned(train, weight_decay=weight_decay,
                                     num_iter_fit=n_iter, random_seed=seed)
-        m.meta_fit(verbose=False, log_period=n_iter)
-        ll, rmse, calib = m.eval_datasets(test)
     elif algo == "np":
         m = NPRegressionMetaLearned(train, weight_decay=weight_decay,
                                     num_iter_fit=n_iter, random_seed=seed)
-        m.meta_fit(verbose=False, log_period=n_iter)
-        ll, rmse, calib = m.eval_datasets(test)
     elif algo == "maml":
         m = MAMLRegression(train, num_iter_fit=n_iter, random_seed=seed)
-        m.meta_fit(verbose=False, log_period=n_iter)
-        ll, calib = np.nan, np.nan
-        rmse = m.eval_datasets(test)
     else:
         raise ValueError(algo)
-    return ll, rmse, calib
+    m.meta_fit(verbose=False, log_period=n_iter)
+    if algo == "maml":
+        return {"test_rmse_meta_train": m.eval_datasets(meta_train_tuples),
+                "test_rmse_meta_test": m.eval_datasets(test),
+                "test_ll_meta_train": np.nan, "test_ll_meta_test": np.nan,
+                "calib_err": np.nan}
+    ll_tr, rmse_tr, _ = m.eval_datasets(meta_train_tuples)
+    ll_te, rmse_te, calib = m.eval_datasets(test)
+    return {"test_rmse_meta_train": rmse_tr, "test_rmse_meta_test": rmse_te,
+            "test_ll_meta_train": ll_tr, "test_ll_meta_test": ll_te,
+            "calib_err": calib}
 
 
 def main(argv):
@@ -63,17 +73,19 @@ def main(argv):
             for seed in (int(s) for s in FLAGS.seeds.split(",")):
                 t0 = time.time()
                 try:
-                    ll, rmse, calib = run_one(
+                    metrics = run_one(
                         FLAGS.algo, FLAGS.dataset, n_tasks, wd, seed,
                         FLAGS.n_iter_fit, FLAGS.n_test_tasks,
                     )
                 except Exception as e:
                     print(f"FAILED n_tasks={n_tasks} wd={wd} seed={seed}: {e!r}")
-                    ll = rmse = calib = np.nan
+                    metrics = {k: np.nan for k in (
+                        "test_rmse_meta_train", "test_rmse_meta_test",
+                        "test_ll_meta_train", "test_ll_meta_test", "calib_err")}
                 rows.append({
                     "algo": FLAGS.algo, "dataset": FLAGS.dataset,
                     "n_tasks": n_tasks, "weight_decay": wd, "seed": seed,
-                    "test_ll": ll, "test_rmse": rmse, "calib_err": calib,
+                    **metrics,
                     "duration": time.time() - t0,
                 })
                 print(rows[-1])

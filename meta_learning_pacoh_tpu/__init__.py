@@ -21,7 +21,7 @@ from meta_learning_pacoh_tpu.algos.gpr_pac import GPRegressionLearnedPAC
 from meta_learning_pacoh_tpu.algos.maml import MAMLRegression
 from meta_learning_pacoh_tpu.algos.npr import NPRegressionMetaLearned
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "GPRegressionMetaLearned",
