@@ -101,15 +101,20 @@ def main():
         model = build()
         if name == "mlap":
             mlap_model = model
-        model.meta_fit(verbose=False, log_period=1000, n_iter=1000)  # warm
-        t0 = time.time()
-        model.meta_fit(verbose=False, log_period=1000, n_iter=1000)
+        # warm with the SAME chunk length; time a 5000-iter chunk so the
+        # per-dispatch tunnel latency amortizes out of the per-iter number
+        model.meta_fit(verbose=False, log_period=5000, n_iter=5000)
         state = model.particles if name == "svgd" else (
             model.params if name != "vi" else model.posterior)
         leaf = jax.tree.leaves(state)[0]
         float(jnp.asarray(leaf).ravel()[0])  # readback fence
-        # seconds for 1000 iterations == milliseconds per iteration
-        per_iter_ms[name] = round(time.time() - t0, 4)
+        t0 = time.time()
+        model.meta_fit(verbose=False, log_period=5000, n_iter=5000)
+        leaf = jax.tree.leaves(
+            model.particles if name == "svgd" else (
+                model.params if name != "vi" else model.posterior))[0]
+        float(jnp.asarray(leaf).ravel()[0])
+        per_iter_ms[name] = round((time.time() - t0) / 5.0, 4)
 
     # MLAP meta-test: 3000-step inner Adam for 5 tasks in one vmapped scan
     ctx = [t[:2] for t in meta_test[:5]]

@@ -114,20 +114,21 @@ def _mll_fwd_kernel(kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref):
 
     # single-factorization fast path: jitter escalation (gpytorch psd-safe
     # semantics, levels 0 -> 1e-4 -> 1e-2 per lane) only runs in the rare
-    # branch where some lane's no-jitter factorization failed
+    # pl.when branch where some lane's no-jitter factorization failed
+    # (pl.when is real predication; a value-level lax.cond would lower to a
+    # both-branches select and factor all levels unconditionally)
     L0 = _lane_chol(Kt, rows, cols)
     ok0 = diag_ok(L0)
+    l_ref[...] = jnp.transpose(L0, (2, 0, 1))
 
-    def escalate(L0_ok):
-        L0_, ok0_ = L0_ok
+    @pl.when(jnp.min(ok0.astype(jnp.float32)) < 0.5)
+    def _():
         L1 = _lane_chol(Kt + _JITTERS[1] * eye_t, rows, cols)
         L2 = _lane_chol(Kt + _JITTERS[2] * eye_t, rows, cols)
-        return jnp.where(ok0_, L0_, jnp.where(diag_ok(L1), L1, L2))
+        Lsel = jnp.where(ok0, L0, jnp.where(diag_ok(L1), L1, L2))
+        l_ref[...] = jnp.transpose(Lsel, (2, 0, 1))
 
-    L = jax.lax.cond(
-        jnp.min(ok0.astype(jnp.float32)) > 0.5,
-        lambda L0_ok: L0_ok[0], escalate, (L0, ok0),
-    )
+    L = jnp.transpose(l_ref[...], (1, 2, 0))
 
     z = _solve_lower(L, rt, rows, k3)  # [N, 1, B]
     quad = jnp.sum(z * z, axis=0, keepdims=True)  # [1, 1, B]
@@ -136,7 +137,8 @@ def _mll_fwd_kernel(kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref):
 
     quad_ref[...] = jnp.transpose(quad[0], (1, 0))  # [B, 1]
     logdet_ref[...] = jnp.transpose(logdet[0], (1, 0))
-    l_ref[...] = jnp.transpose(L, (2, 0, 1))
+    # l_ref already holds the selected factor (written in the fast path /
+    # escalation branch above)
     z_ref[...] = jnp.transpose(z[:, 0, :], (1, 0))
 
 
