@@ -9,9 +9,13 @@ speedup over that target.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -124,6 +128,19 @@ def main():
     float(jnp.asarray(st["q_means"]).ravel()[0])
     mlap_meta_test_s_per_task = (time.time() - t0) / len(ctx)
 
+    # measured torch-CPU baseline for the same step (tools/torch_svgd_timing:
+    # reference SVGD math in plain torch; 'batched' fuses all tasks into one
+    # K*T cholesky — a STRONGER baseline than the reference's per-task loop)
+    torch_sps = {}
+    try:
+        from tools.torch_svgd_timing import measure_torch_svgd_steps_per_sec
+
+        for mode in ("batched", "ref"):
+            torch_sps[mode] = round(measure_torch_svgd_steps_per_sec(
+                meta_train, mode=mode, warmup=10, iters=60), 1)
+    except Exception:  # torch absent on the driver — keep bench alive
+        pass
+
     baseline_steps_per_sec = 10000 / 60.0  # north-star: 10k-iter fit in <60 s
     print(json.dumps({
         "metric": "pacoh_svgd_meta_train_steps_per_sec_sin20",
@@ -140,6 +157,10 @@ def main():
             "per_iter_ms": per_iter_ms,
             "mlap_meta_test_s_per_task_3000steps": round(
                 mlap_meta_test_s_per_task, 3),
+            "torch_cpu_svgd_steps_per_sec": torch_sps,
+            "speedup_vs_torch_cpu_batched": (
+                round(steps_per_sec / torch_sps["batched"], 1)
+                if torch_sps.get("batched") else None),
         },
     }))
 

@@ -44,7 +44,11 @@ class MAMLRegression(RegressionModelMetaLearned):
     def __init__(self, meta_train_data, layer_sizes=(32, 32, 32, 32),
                  num_iter_fit=20000, lr_inner=0.05, num_inner_steps=1,
                  task_batch_size=5, lr_meta=1e-3, lr_decay=1.0, optimizer="Adam",
-                 normalize_data=True, random_seed=None):
+                 normalize_data=True, random_seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis — requires
+        task_batch_size=-1 (full batch); shards the meta-task tensors so each
+        device adapts its own task shard and the meta-gradient reduces with a
+        psum over ICI."""
         super().__init__(normalize_data, random_seed)
         assert optimizer in ["Adam", "SGD"]
 
@@ -53,6 +57,19 @@ class MAMLRegression(RegressionModelMetaLearned):
         X, Y, mask = self._prepare_meta_data(meta_train_data)
         self.X, self.Y, self.mask = X, Y, mask
         self.n_tasks = X.shape[0]
+        if task_batch_size < 1:
+            task_batch_size = self.n_tasks
+
+        self._mesh = mesh
+        if mesh is not None:
+            assert task_batch_size == self.n_tasks, (
+                "mesh-sharded training requires task_batch_size=-1 (full batch)"
+            )
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            self.X, self.Y, self.mask = shard_task_batch(
+                mesh, self.X, self.Y, self.mask
+            )
 
         self.lr_inner = lr_inner
         self.num_inner_steps = num_inner_steps
@@ -74,6 +91,12 @@ class MAMLRegression(RegressionModelMetaLearned):
         self._split_arr = jnp.asarray(
             np.ceil(np.asarray(self.mask).sum(axis=1) / 2.0).astype(np.int32)
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._split_arr = jax.device_put(
+                self._split_arr, NamedSharding(mesh, PartitionSpec("task"))
+            )
 
         # jit functions are memoized on their full static config so learner
         # instances with identical configs share XLA compile caches
@@ -135,13 +158,21 @@ class MAMLRegression(RegressionModelMetaLearned):
             err2 = (mlp_apply(adapted, x) - y) ** 2 * w2
             return jnp.sum(err2) / jnp.maximum(jnp.sum(w2 * jnp.ones_like(y)), 1.0)
 
+        full_batch = batch_size == n_tasks
+
         def single_step(carry, key, X, Y, M, splits):
             params, opt_state = carry
-            idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+            if full_batch:
+                # contiguous task axis -> shards cleanly over a 'task' mesh
+                xb, yb, mb, spb = X, Y, M, splits
+            else:
+                idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+                xb, yb, mb, spb = X[idx], Y[idx], M[idx], splits[idx]
+
             def meta_loss(p):
                 losses = jax.vmap(
                     lambda x, y, m, sp: task_loss(p, x, y, m, sp)
-                )(X[idx], Y[idx], M[idx], splits[idx])
+                )(xb, yb, mb, spb)
                 return jnp.mean(losses)
             loss, grads = jax.value_and_grad(meta_loss)(params)
             updates, opt_state = opt.update(grads, opt_state, params)

@@ -35,7 +35,11 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
     def __init__(self, meta_train_data, context_split_ratio=0.5, lr_params=1e-3,
                  r_dim=50, z_dim=50, h_dim=50, num_iter_fit=10000, weight_decay=1e-2,
                  task_batch_size=5, normalize_data=True, optimizer="Adam",
-                 lr_decay=1.0, random_seed=None):
+                 lr_decay=1.0, random_seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis — requires
+        task_batch_size=-1 (full batch); shards the meta-task tensors so the
+        per-task NP ELBO terms compute on their own devices and the gradient
+        reduces with a psum over ICI."""
         super().__init__(normalize_data, random_seed)
         assert optimizer in ["Adam", "SGD"]
 
@@ -44,6 +48,19 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         X, Y, mask = self._prepare_meta_data(meta_train_data)
         self.X, self.Y, self.mask = X, Y[..., None], mask  # y kept 2-D per point
         self.n_tasks, n_samples = X.shape[0], X.shape[1]
+        if task_batch_size < 1:
+            task_batch_size = self.n_tasks
+
+        self._mesh = mesh
+        if mesh is not None:
+            assert task_batch_size == self.n_tasks, (
+                "mesh-sharded training requires task_batch_size=-1 (full batch)"
+            )
+            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
+
+            self.X, self.Y, self.mask = shard_task_batch(
+                mesh, self.X, self.Y, self.mask
+            )
 
         # per-task context sizes (tasks may be ragged, reference NPR_meta.py:74-76)
         n_per_task = mask.sum(axis=1)
@@ -84,16 +101,23 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         opt = self._opt
 
+        full_batch = batch_size == n_tasks
+
         def single_step(carry, key, X, Y, M, num_context_arr):
             params, opt_state = carry
             k_task, k_split = jax.random.split(key)
-            idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
+            if full_batch:
+                # contiguous task axis -> shards cleanly over a 'task' mesh
+                xb, yb, mb, ncb = X, Y, M, num_context_arr
+            else:
+                idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
+                xb, yb, mb, ncb = X[idx], Y[idx], M[idx], num_context_arr[idx]
 
             def loss_fn(p):
                 keys = jax.random.split(k_split, batch_size)
                 losses = jax.vmap(
                     lambda k, x, y, nc, m: np_elbo_loss(p, k, x, y, nc, mask=m)
-                )(keys, X[idx], Y[idx], num_context_arr[idx], M[idx])
+                )(keys, xb, yb, ncb, mb)
                 return jnp.sum(losses)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

@@ -1,0 +1,169 @@
+"""Distributed block-cyclic Cholesky over a mesh axis (the SP/CP analog).
+
+The reference has no sequence axis; its "long context" is the per-task GP
+dataset size N, paid as an O(N^3) Cholesky inside every MLL (SURVEY.md §5
+long-context row). Single-chip coverage: unrolled (N<=8), lane-parallel
+Pallas (N<=64), fused Pallas MLL (N<=48), blocked Pallas (N<=512), XLA above.
+This module adds the final tier — a multi-chip right-looking factorization
+that shards block-ROWS of the Gram matrix cyclically over a mesh axis so the
+O(N^2) memory and O(N^3) update FLOPs split across chips, with the per-step
+panel exchanged via XLA collectives (psum broadcast of the diagonal block +
+all_gather of the column panel) riding ICI.
+
+Algorithm (right-looking, block size `nb`, D devices, nB = N/nb blocks):
+  for k in 0..nB-1:
+    owner(k) = k mod D factors the diagonal block  L_kk = chol(A_kk)
+    psum-broadcasts L_kk; every device panel-solves its rows  L_ik = A_ik L_kk^-T
+    all_gather of the column panel {L_ik}; every device applies the
+    full-width symmetric trailing update  A_i,: -= L_ik * panel^T
+Full-width row updates keep the trailing matrix symmetric, so only the
+lower triangle is ever *read* — no (i, j<=i) bookkeeping inside the loop.
+
+This is deliberately NOT a Pallas kernel: the per-device block math (chol,
+triangular solve, GEMM) is large, static-shaped XLA that already maps onto
+the MXU; the distribution layer is where a hand-rolled design is needed.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+
+def _block_cyclic_perm(n_blocks, n_dev):
+    """Global block order so device d holds blocks d, d+D, ... contiguously."""
+    perm = np.concatenate([np.arange(d, n_blocks, n_dev) for d in range(n_dev)])
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n_blocks)
+    return perm, inv
+
+
+def _dist_chol_body(a_loc, *, n_dev, n_blocks, nb, axis_name):
+    """Runs per device under shard_map. a_loc: [Lb, nb, N] local block rows."""
+    lb = n_blocks // n_dev
+    d = jax.lax.axis_index(axis_name)
+    gidx = d + n_dev * jnp.arange(lb)  # global block index of each local slot
+
+    for k in range(n_blocks):
+        ck = k * nb
+        a_col = jax.lax.dynamic_slice_in_dim(a_loc, ck, nb, axis=2)  # [Lb,nb,nb]
+
+        # broadcast the (updated) diagonal block from its owner
+        owner, slot = k % n_dev, k // n_dev
+        diag = jnp.where(d == owner, a_col[slot], jnp.zeros((nb, nb), a_loc.dtype))
+        l_kk = jnp.linalg.cholesky(jax.lax.psum(diag, axis_name))
+
+        # panel solve on every device's rows below the diagonal
+        sol = jax.vmap(lambda b: solve_triangular(l_kk, b, lower=True))(
+            jnp.swapaxes(a_col, -1, -2))
+        l_col = jnp.swapaxes(sol, -1, -2)  # A_ik L_kk^-T
+        below = (gidx > k)[:, None, None]
+        at_k = (gidx == k)[:, None, None]
+        l_col = jnp.where(below, l_col, jnp.where(at_k, l_kk, 0.0))
+        a_loc = jax.lax.dynamic_update_slice_in_dim(a_loc, l_col, ck, axis=2)
+
+        if k == n_blocks - 1:
+            break
+
+        # gather the column panel and apply the trailing update full-width
+        panel = jax.lax.all_gather(
+            jnp.where(below, l_col, 0.0), axis_name)  # [D, Lb, nb, nb]
+        panel = jnp.moveaxis(panel, 0, 1).reshape(n_blocks, nb, nb)
+        tail = panel[k + 1:]  # blocks j > k, global order
+        m = tail.shape[0] * nb
+        tail_t = jnp.moveaxis(jnp.swapaxes(tail, -1, -2), 0, 1).reshape(nb, m)
+        upd = jnp.matmul(jnp.where(below, l_col, 0.0), tail_t)  # [Lb, nb, m]
+        trail = jax.lax.dynamic_slice_in_dim(a_loc, ck + nb, m, axis=2)
+        a_loc = jax.lax.dynamic_update_slice_in_dim(
+            a_loc, trail - upd, ck + nb, axis=2)
+
+    # zero everything right of each row's diagonal block (junk from updates)
+    col = jnp.arange(n_blocks * nb)[None, None, :]
+    keep = col < ((gidx + 1) * nb)[:, None, None]
+    return jnp.where(keep, a_loc, 0.0)
+
+
+def distributed_cholesky(a, mesh, axis_name="task", block_size=128):
+    """Lower Cholesky factor of one [N, N] PSD matrix, computed with block
+    rows sharded over `mesh`'s `axis_name` axis.
+
+    For N beyond the single-chip Pallas window this splits both the O(N^2)
+    Gram residency and the O(N^3) trailing-update FLOPs across devices.
+    Returns the full [N, N] lower factor (replicated). Requires f32 input;
+    the caller adds jitter, exactly as with `ops.chol.cholesky`.
+    """
+    assert a.ndim == 2 and a.shape[0] == a.shape[1], "one square matrix"
+    n = a.shape[0]
+    n_dev = mesh.shape[axis_name]
+    nb = min(block_size, max(8, n))
+    step = nb * n_dev
+    n_pad = int(np.ceil(n / step) * step)
+    n_blocks = n_pad // nb
+
+    if n_pad != n:
+        # pad with an identity tail so the factorization stays well-posed
+        pad = n_pad - n
+        a = jnp.block([
+            [a, jnp.zeros((n, pad), a.dtype)],
+            [jnp.zeros((pad, n), a.dtype), jnp.eye(pad, dtype=a.dtype)],
+        ])
+
+    perm, inv = _block_cyclic_perm(n_blocks, n_dev)
+    a_rows = a.reshape(n_blocks, nb, n_pad)[perm]  # block-cyclic row order
+
+    body = functools.partial(
+        _dist_chol_body, n_dev=n_dev, n_blocks=n_blocks, nb=nb,
+        axis_name=axis_name)
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=P(axis_name),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    spec = NamedSharding(mesh, P(axis_name))
+    l_rows = sharded(jax.device_put(a_rows, spec))
+    l_full = l_rows[inv].reshape(n_pad, n_pad)
+    return l_full[:n, :n]
+
+
+def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
+                       block_size=128):
+    """Exact GP marginal log-likelihood (NOT divided by n) for one task whose
+    Gram matrix is factored across the mesh via `distributed_cholesky`.
+
+    Reference semantics: gpytorch ExactMarginalLogLikelihood without the /n
+    (the callers divide); matches `ops.gp.gp_mll` for the single-matrix case.
+
+    Differentiable: the backward is the closed-form MLL gradient
+    (d/dK = 0.5*(aa^T - K^-1) with a = K^-1 (y - mean)), computed from the
+    already-distributed factor with two replicated triangular solves — the
+    O(N^3) factorization is never repeated or autodiffed through.
+    """
+
+    @jax.custom_vjp
+    def _mll(mean_, k_, y_):
+        return _mll_fwd(mean_, k_, y_)[0]
+
+    def _mll_fwd(mean_, k_, y_):
+        n = y_.shape[-1]
+        chol_l = distributed_cholesky(k_, mesh, axis_name, block_size)
+        z = solve_triangular(chol_l, (y_ - mean_)[:, None], lower=True)[:, 0]
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_l)))
+        mll = -0.5 * (jnp.sum(z * z) + logdet + n * jnp.log(2.0 * jnp.pi))
+        return mll, (chol_l, z)
+
+    def _mll_bwd(res, g):
+        chol_l, z = res
+        alpha = solve_triangular(chol_l, z[:, None], lower=True, trans=1)[:, 0]
+        w = solve_triangular(chol_l, jnp.eye(chol_l.shape[0], dtype=chol_l.dtype),
+                             lower=True)
+        k_inv = w.T @ w
+        dk = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
+        return (g * alpha, g * dk, -g * alpha)
+
+    _mll.defvjp(_mll_fwd, _mll_bwd)
+    return _mll(mean, k_noisy, y)

@@ -29,3 +29,67 @@ def pytest_configure(config):
     env = dict(os.environ)
     env.update(_WANTED)
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
+
+# ---------------------------------------------------------------- slow tier
+#
+# Tests that cost >~14 s on the virtual CPU mesh (long training loops or big
+# XLA CPU compiles) are marked `slow` here in one tunable place, and the
+# default run deselects them (pyproject.toml addopts). Full suite:
+# `python -m pytest tests/ -m ""`. Every subsystem keeps fast-tier coverage.
+
+_SLOW = {
+    # test_parallel.py — sharded==unsharded parity (full training loops x2)
+    "test_sharded_mlap_matches_unsharded",
+    "test_sharded_learner_matches_unsharded",
+    "test_sharded_map_matches_unsharded",
+    "test_sharded_map_matches_unsharded_2d_mesh",
+    "test_parallel_step_builder",
+    "test_dryrun_multichip",
+    # test_mlap.py — 2000-iter bound fits / 3000-step meta-test inference
+    "test_bound_decreases",
+    "test_meta_test_inference_and_eval",
+    "test_ragged_tasks_train_and_eval",
+    "test_prior_mean_runs",
+    "test_masked_bound_matches_unpadded",
+    "test_predict_shapes_and_ci",
+    # test_dist_chol.py — unrolled shard_map compiles ([72-16] stays fast)
+    "test_distributed_cholesky_matches_xla[256-32]",
+    "test_distributed_mll_gradient_matches_xla_autodiff",
+    "test_distributed_mll_matches_closed_form",
+    # test_learners.py — full training loops
+    "test_full_cov_trains_finite",
+    "test_elbo_decreases_diag",
+    "test_state_dict_roundtrip_and_training_stays_in_sync[NN-NN]",
+    "test_state_dict_roundtrip_and_training_stays_in_sync[constant-SE]",
+    "test_seed_determinism_and_modes",
+    "test_learning_improves_eval",
+    "test_imq_kernel_runs",
+    "test_confidence_intervals_ordered",
+    "TestPACOHSVGD::test_seed_determinism",  # MAP's stays fast
+    "test_meta_learning_beats_per_task_gp",
+    "test_more_meta_train_tasks_improve_eval",
+    # test_ops.py — large masked-MLL grad sweep
+    "test_grad_finite_and_masked_grad_matches",
+    # module-grid sweeps / hyper-prior statistics / image NP trainer
+    "test_meta_log_prob_prefactor",
+    "test_mll_and_predict_run_all_module_combos",
+    "test_trainer_reduces_loss_and_inpaints",
+    "test_fit_improves_and_finite",
+    "test_pacoh_map_training_golden",
+    # test_reference_parity.py — float64 mirror across module grid
+    "test_predict_matches_reference_math[NN-NN-both]",
+    "test_predict_matches_reference_math[constant-SE-learn_kernel]",
+    "test_single_particle_predictive_matches_randomgp_math",
+    "test_confidence_intervals_match_normal_quantiles",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        cls = getattr(item, "cls", None)
+        qualified = f"{cls.__name__}::{item.name}" if cls else item.name
+        if item.name in _SLOW or qualified in _SLOW:
+            item.add_marker(pytest.mark.slow)

@@ -158,3 +158,46 @@ class TestShardedSVGD:
         new_p, _ = step(particles_s, state_s, Xs, Ys, Ms)
         assert np.all(np.isfinite(np.asarray(new_p)))
         assert float(jnp.max(jnp.abs(new_p - particles_s))) > 0
+
+
+class TestShardedMAMLAndNP:
+    def test_sharded_maml_matches_unsharded(self, devices_ok):
+        """Full-batch MAML on a task-sharded mesh == single-device run."""
+        from meta_learning_pacoh_tpu import MAMLRegression
+        from meta_learning_pacoh_tpu.parallel.mesh import make_mesh
+
+        train = _tasks()
+        m_plain = MAMLRegression(train, layer_sizes=(16, 16), num_iter_fit=30,
+                                 random_seed=5, task_batch_size=-1)
+        m_plain.meta_fit(verbose=False)
+
+        m_shard = MAMLRegression(train, layer_sizes=(16, 16), num_iter_fit=30,
+                                 random_seed=5, task_batch_size=-1,
+                                 mesh=make_mesh(8))
+        m_shard.meta_fit(verbose=False)
+
+        for lp, ls in zip(jax.tree.leaves(m_plain.params),
+                          jax.tree.leaves(m_shard.params)):
+            np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_sharded_np_matches_unsharded(self, devices_ok):
+        """Full-batch Neural Process on a task-sharded mesh == single-device."""
+        from meta_learning_pacoh_tpu import NPRegressionMetaLearned
+        from meta_learning_pacoh_tpu.parallel.mesh import make_mesh
+
+        train = _tasks()
+        m_plain = NPRegressionMetaLearned(train, r_dim=8, z_dim=8, h_dim=8,
+                                          num_iter_fit=30, random_seed=5,
+                                          task_batch_size=-1)
+        m_plain.meta_fit(verbose=False)
+
+        m_shard = NPRegressionMetaLearned(train, r_dim=8, z_dim=8, h_dim=8,
+                                          num_iter_fit=30, random_seed=5,
+                                          task_batch_size=-1, mesh=make_mesh(8))
+        m_shard.meta_fit(verbose=False)
+
+        for lp, ls in zip(jax.tree.leaves(m_plain.params),
+                          jax.tree.leaves(m_shard.params)):
+            np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                                       rtol=1e-4, atol=1e-5)
