@@ -309,16 +309,39 @@ class PhysionetDataset(MetaDataset):
         assert variable_id < len(self.VARIABLES), "Unknown variable ID"
         self.variable = self.VARIABLES[variable_id]
         self.data_path = os.path.join(self.data_dir, "set_a_merged.h5")
-        import pandas as pd
+        # The reference ships set_a_merged.h5 in pandas/PyTables format
+        # (reference data_sim.py:59-90). PyTables is not always available
+        # (it is absent from the TPU container), so fall back to a plain
+        # h5py layout: one group per patient holding a 'times' dataset and
+        # one dataset per variable name.
+        try:
+            import tables  # noqa: F401  (pd.HDFStore needs PyTables)
+            import pandas as pd
 
-        with pd.HDFStore(self.data_path, mode="r") as hdf:
-            self.keys = hdf.keys()
+            with pd.HDFStore(self.data_path, mode="r") as hdf:
+                self.keys = list(hdf.keys())
+            self._use_pandas = True
+        except ImportError:
+            import h5py
+
+            with h5py.File(self.data_path, "r") as hdf:
+                self.keys = sorted("/" + k for k in hdf.keys())
+            self._use_pandas = False
 
     def _patient_series(self, patient):
-        import pandas as pd
+        if self._use_pandas:
+            import pandas as pd
 
-        df = pd.read_hdf(self.data_path, patient, mode="r")[self.variable].dropna()
-        return (df.index.values.astype(self.dtype), df.values.astype(self.dtype))
+            df = pd.read_hdf(self.data_path, patient, mode="r")[self.variable].dropna()
+            return (df.index.values.astype(self.dtype), df.values.astype(self.dtype))
+        import h5py
+
+        with h5py.File(self.data_path, "r") as hdf:
+            grp = hdf[patient.lstrip("/")]
+            times = grp["times"][()].astype(self.dtype)
+            values = grp[self.variable][()].astype(self.dtype)
+        keep = ~np.isnan(values)
+        return times[keep], values[keep]
 
     def generate_meta_train_data(self, n_tasks, n_samples=47):
         assert n_tasks <= 500 and n_samples < 48
