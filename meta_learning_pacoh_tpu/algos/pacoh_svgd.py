@@ -65,6 +65,8 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         self.prior_factor = prior_factor
         self.num_particles = num_particles
         self.svgd_kernel, self.bandwidth = kernel, bandwidth
+        self._optimizer_name, self._lr, self._lr_decay = optimizer, lr, lr_decay
+        self._weight_prior_std, self._bias_prior_std = weight_prior_std, bias_prior_std
 
         self._check_and_set_dims(meta_train_data)
         self._compute_normalization_stats(meta_train_data)
@@ -120,6 +122,7 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             ("pacoh_svgd.batch_eval",) + hp_key, self._build_batch_eval_fn
         )
         self._step_count = 0
+        self._fused = None  # lazily-built Pallas mega-kernel trainer
 
 
     # ------------------------------------------------------------- train step
@@ -166,24 +169,96 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
 
         return run_chunk
 
+    # ------------------------------------------------ fused-kernel fast path
+    def _fused_path_ok(self):
+        """Whether the single-launch Pallas training kernel applies.
+
+        The mega-kernel (ops/pallas/fused_train_kernel.py) covers the
+        flagship configuration: NN mean + NN kernel with one shared hidden
+        width, feature_dim 1, full task batch, RBF median-heuristic SVGD,
+        constant-lr Adam, N within the unrolled-linalg window. Everything
+        else uses the general scan-fused XLA step.
+        """
+        from meta_learning_pacoh_tpu import config
+
+        cfg = self.cfg
+        hidden = tuple(cfg.mean_nn_layers)
+        return (
+            config.pallas_enabled()
+            and self._mesh is None
+            and self.task_batch_size == self.n_tasks
+            and self.svgd_kernel == "RBF" and self.bandwidth is None
+            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            and cfg.mean_module == "NN" and cfg.covar_module == "NN"
+            and cfg.feature_dim == 1
+            and hidden == tuple(cfg.kernel_nn_layers)
+            and len(set(hidden)) == 1 and len(hidden) >= 1
+            and self.num_particles * hidden[0] <= 1024  # VMEM-resident state
+            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
+            and hasattr(self.opt_state[0], "mu")
+        )
+
+    def _fused_run_chunk(self, chunk):
+        from meta_learning_pacoh_tpu import config
+        from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
+            FusedSVGDTrainer,
+            pack_state,
+        )
+
+        hidden = tuple(self.cfg.mean_nn_layers)
+        if self._fused is None:
+            self._fused = FusedSVGDTrainer(
+                self.hyper_prior, self.particles, self.X, self.Y, self.mask,
+                hidden=hidden, lr=self._lr, prior_factor=self.prior_factor,
+                weight_prior_std=self._weight_prior_std,
+                bias_prior_std=self._bias_prior_std,
+                interpret=config.pallas_interpret(),
+            )
+            if self._step_count > 0:  # resume: carry the live Adam moments
+                adam = self.opt_state[0]
+                self._fused.m = pack_state(self.hyper_prior, adam.mu, hidden)
+                self._fused.v = pack_state(self.hyper_prior, adam.nu, hidden)
+        self._fused.run(chunk, self._step_count)
+
+    def _fused_sync(self, total_steps):
+        """Unpack the kernel-resident state into the canonical learner state
+        (predict/eval/state_dict read self.particles / self.opt_state)."""
+        self.particles, mu, nu = self._fused.sync()
+        adam = self.opt_state[0]._replace(
+            count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
+        )
+        self.opt_state = (adam,) + tuple(self.opt_state[1:])
+
     def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
         """Fits the hyper-posterior particles with SVGD."""
         assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
         if n_iter is None:
             n_iter = self.num_iter_fit
 
+        use_fused = self._fused_path_ok()
         t = time.time()
         remaining, itr = n_iter, 0
         while remaining > 0:
             chunk = int(min(log_period, remaining))
-            self.particles, self.opt_state, _ = self._step_fn(
-                self.particles, self.opt_state, self.X, self.Y, self.mask,
-                self._train_key, self._step_count, chunk
-            )
-            self.particles.block_until_ready()  # honest per-chunk timing
+            if use_fused:
+                self._fused_run_chunk(chunk)
+                self._step_count += chunk
+                # sync the canonical state lazily: only when this chunk's
+                # metrics are actually read (or once, after the last chunk)
+                if valid_tuples is not None or remaining <= chunk:
+                    self._fused_sync(self._step_count)
+                # fence on the kernel-resident state (self.particles may be
+                # an already-ready stale array between lazy syncs)
+                self._fused.packed["nz"].block_until_ready()
+            else:
+                self.particles, self.opt_state, _ = self._step_fn(
+                    self.particles, self.opt_state, self.X, self.Y, self.mask,
+                    self._train_key, self._step_count, chunk
+                )
+                self.particles.block_until_ready()
+                self._step_count += chunk
             remaining -= chunk
             itr += chunk
-            self._step_count += chunk
 
             duration = time.time() - t
             t = time.time()
@@ -274,3 +349,4 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         self.particles = jnp.asarray(state_dict["particles"])
         self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
         self._step_count = state_dict.get("step", 0)
+        self._fused = None  # repack from the restored state on next fit
