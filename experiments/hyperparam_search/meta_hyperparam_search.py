@@ -32,6 +32,10 @@ flags.DEFINE_integer("n_test_seeds", 5, "seeds for final re-evaluation")
 flags.DEFINE_integer("top_n", 5, "top configs to re-evaluate")
 flags.DEFINE_string("local_dir", "./tune_out", "tuning state directory")
 flags.DEFINE_boolean("resume", False, "resume from experiment state")
+flags.DEFINE_boolean(
+    "seed_parallel", False,
+    "vmap the re-evaluation seeds of each top config into one compiled "
+    "program (parallel/seed_parallel.py) instead of looping them")
 
 
 def search_space(algo):
@@ -58,7 +62,7 @@ def search_space(algo):
     raise ValueError(algo)
 
 
-def build_and_eval(algo, config, dataset, seed, n_iter, n_eval_tasks):
+def build_model(algo, config, dataset, seed, n_iter):
     from meta_learning_pacoh_tpu import (
         GPRegressionMetaLearned,
         GPRegressionMetaLearnedSVGD,
@@ -87,9 +91,29 @@ def build_and_eval(algo, config, dataset, seed, n_iter, n_eval_tasks):
         )
     else:
         raise ValueError(algo)
+    return model, test
+
+
+def build_and_eval(algo, config, dataset, seed, n_iter, n_eval_tasks):
+    model, test = build_model(algo, config, dataset, seed, n_iter)
     model.meta_fit(verbose=False, log_period=n_iter)
     ll, rmse, calib = model.eval_datasets(test[:n_eval_tasks])
     return {"test_ll": ll, "test_rmse": rmse, "calib_err": calib}
+
+
+def eval_config_over_seeds_parallel(algo, config, dataset, seeds, n_iter,
+                                    n_eval_tasks):
+    """One vmapped training program for all re-evaluation seeds of a config
+    (the reference fans these to Ray workers, meta_mll_hyperparm.py:150)."""
+    from meta_learning_pacoh_tpu.parallel import fit_models_parallel
+
+    built = [build_model(algo, config, dataset, s, n_iter) for s in seeds]
+    fit_models_parallel([m for m, _ in built], n_iter=n_iter)
+    out = []
+    for model, test in built:
+        ll, rmse, calib = model.eval_datasets(test[:n_eval_tasks])
+        out.append({"test_ll": ll, "test_rmse": rmse, "calib_err": calib})
+    return out
 
 
 def main(argv):
@@ -111,11 +135,18 @@ def main(argv):
 
     # seeded re-evaluation of the best configs (ref :132-157)
     rows = []
+    seeds = list(range(31, 31 + FLAGS.n_test_seeds))
     for rank, config in enumerate(best):
-        for seed in range(31, 31 + FLAGS.n_test_seeds):
-            metrics = build_and_eval(algo, config, dataset, seed=seed,
-                                     n_iter=FLAGS.n_iter_fit,
-                                     n_eval_tasks=FLAGS.n_eval_tasks)
+        if FLAGS.seed_parallel:
+            per_seed = eval_config_over_seeds_parallel(
+                algo, config, dataset, seeds, n_iter=FLAGS.n_iter_fit,
+                n_eval_tasks=FLAGS.n_eval_tasks)
+        else:
+            per_seed = [build_and_eval(algo, config, dataset, seed=s,
+                                       n_iter=FLAGS.n_iter_fit,
+                                       n_eval_tasks=FLAGS.n_eval_tasks)
+                        for s in seeds]
+        for seed, metrics in zip(seeds, per_seed):
             rows.append({"rank": rank, "seed": seed, **config, **metrics})
             print(rows[-1])
     df = pd.DataFrame(rows)

@@ -27,9 +27,18 @@ flags.DEFINE_string("seeds", "22,23,24,25,26", "seeds")
 flags.DEFINE_integer("n_iter_fit", 10000, "meta-train iterations")
 flags.DEFINE_integer("n_test_tasks", 50, "test tasks")
 flags.DEFINE_string("output_csv", "./meta_overfitting.csv", "output CSV")
+flags.DEFINE_boolean(
+    "seed_parallel", False,
+    "vmap the seed axis: all seeds of one (n_tasks, wd) cell train inside "
+    "one compiled program (parallel/seed_parallel.py) — the TPU-native "
+    "replacement of the reference's one-Ray-worker-per-seed fan-out")
+
+_NAN_METRICS = {k: np.nan for k in (
+    "test_rmse_meta_train", "test_rmse_meta_test",
+    "test_ll_meta_train", "test_ll_meta_test", "calib_err")}
 
 
-def run_one(algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test):
+def build_one(algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test):
     """Reference protocol (meta_GPR_overfitting_base.py:75-110): the
     meta-train tasks come as (context, test) 4-tuples; training sees only the
     contexts, and BOTH the held-out points of the training tasks
@@ -53,7 +62,10 @@ def run_one(algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test):
         m = MAMLRegression(train, num_iter_fit=n_iter, random_seed=seed)
     else:
         raise ValueError(algo)
-    m.meta_fit(verbose=False, log_period=n_iter)
+    return m, meta_train_tuples, test
+
+
+def eval_one(algo, m, meta_train_tuples, test):
     if algo == "maml":
         return {"test_rmse_meta_train": m.eval_datasets(meta_train_tuples),
                 "test_rmse_meta_test": m.eval_datasets(test),
@@ -66,28 +78,59 @@ def run_one(algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test):
             "calib_err": calib}
 
 
+def run_one(algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test):
+    m, meta_train_tuples, test = build_one(
+        algo, dataset, n_tasks, weight_decay, seed, n_iter, n_test)
+    m.meta_fit(verbose=False, log_period=n_iter)
+    return eval_one(algo, m, meta_train_tuples, test)
+
+
+def run_seed_group(algo, dataset, n_tasks, weight_decay, seeds, n_iter,
+                   n_test):
+    """All seeds of one grid cell in a single vmapped training program."""
+    from meta_learning_pacoh_tpu.parallel import fit_models_parallel
+
+    built = [build_one(algo, dataset, n_tasks, weight_decay, s, n_iter,
+                       n_test) for s in seeds]
+    fit_models_parallel([m for m, _, _ in built], n_iter=n_iter)
+    return [eval_one(algo, m, tr, te) for m, tr, te in built]
+
+
 def main(argv):
     rows = []
+    seeds = [int(s) for s in FLAGS.seeds.split(",")]
     for n_tasks in (int(s) for s in FLAGS.n_tasks_grid.split(",")):
         for wd in (float(s) for s in FLAGS.weight_decay_grid.split(",")):
-            for seed in (int(s) for s in FLAGS.seeds.split(",")):
-                t0 = time.time()
+            t0 = time.time()
+            per_seed = None
+            if FLAGS.seed_parallel:
                 try:
-                    metrics = run_one(
-                        FLAGS.algo, FLAGS.dataset, n_tasks, wd, seed,
-                        FLAGS.n_iter_fit, FLAGS.n_test_tasks,
-                    )
-                except Exception as e:
-                    print(f"FAILED n_tasks={n_tasks} wd={wd} seed={seed}: {e!r}")
-                    metrics = {k: np.nan for k in (
-                        "test_rmse_meta_train", "test_rmse_meta_test",
-                        "test_ll_meta_train", "test_ll_meta_test", "calib_err")}
+                    per_seed = run_seed_group(
+                        FLAGS.algo, FLAGS.dataset, n_tasks, wd, seeds,
+                        FLAGS.n_iter_fit, FLAGS.n_test_tasks)
+                except Exception as e:  # quarantine -> sequential fallback
+                    print(f"seed-parallel FAILED n_tasks={n_tasks} wd={wd}: "
+                          f"{e!r}; falling back to sequential")
+            for i, seed in enumerate(seeds):
+                if per_seed is not None:
+                    metrics = per_seed[i]
+                else:
+                    try:
+                        metrics = run_one(
+                            FLAGS.algo, FLAGS.dataset, n_tasks, wd, seed,
+                            FLAGS.n_iter_fit, FLAGS.n_test_tasks,
+                        )
+                    except Exception as e:
+                        print(f"FAILED n_tasks={n_tasks} wd={wd} "
+                              f"seed={seed}: {e!r}")
+                        metrics = dict(_NAN_METRICS)
                 rows.append({
                     "algo": FLAGS.algo, "dataset": FLAGS.dataset,
                     "n_tasks": n_tasks, "weight_decay": wd, "seed": seed,
                     **metrics,
                     "duration": time.time() - t0,
                 })
+                t0 = time.time()
                 print(rows[-1])
                 pd.DataFrame(rows).to_csv(FLAGS.output_csv, index=False)
 

@@ -8,3 +8,7 @@ from meta_learning_pacoh_tpu.parallel.dist_chol import (
     distributed_cholesky,
     distributed_gp_mll,
 )
+from meta_learning_pacoh_tpu.parallel.seed_parallel import (
+    fit_models_parallel,
+    make_seed_mesh,
+)

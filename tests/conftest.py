@@ -69,6 +69,12 @@ _SLOW = {
     "TestPACOHSVGD::test_seed_determinism",  # MAP's stays fast
     "test_meta_learning_beats_per_task_gp",
     "test_more_meta_train_tasks_improve_eval",
+    # test_seed_parallel.py — vmapped multi-seed fits (big stacked compiles;
+    # svgd/vi/maml/per-seed-data variants keep the fast-tier coverage)
+    "test_seed_mesh_sharded_matches_unsharded",
+    "test_np_parallel_runs_and_matches",
+    "test_map_parallel_matches_sequential",
+    "test_mlap_parallel_matches_sequential",
     # test_ops.py — large masked-MLL grad sweep
     "test_grad_finite_and_masked_grad_matches",
     # module-grid sweeps / hyper-prior statistics / image NP trainer
