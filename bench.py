@@ -77,7 +77,9 @@ def main():
         float(many(K))
         return (time.time() - t0) / reps * 1e6
 
-    mll_grad_us_n20 = mll_grad_us(200, 20)
+    # N=20 device time is ~50us/rep: use enough reps that the one-dispatch
+    # tunnel latency (~10-30ms) amortizes out of the per-rep number
+    mll_grad_us_n20 = mll_grad_us(200, 20, reps=400)
     mll_grad_us_n200 = mll_grad_us(200, 200)  # blocked Pallas window
 
     # measured per-algorithm table (reference analog:

@@ -311,22 +311,33 @@ class PhysionetDataset(MetaDataset):
         self.data_path = os.path.join(self.data_dir, "set_a_merged.h5")
         # The reference ships set_a_merged.h5 in pandas/PyTables format
         # (reference data_sim.py:59-90). PyTables is not always available
-        # (it is absent from the TPU container), so fall back to a plain
-        # h5py layout: one group per patient holding a 'times' dataset and
-        # one dataset per variable name.
-        try:
-            import tables  # noqa: F401  (pd.HDFStore needs PyTables)
+        # (it is absent from the TPU container), so a plain h5py layout is
+        # also accepted: one group per patient holding a 'times' dataset and
+        # one dataset per variable name. Detection is CONTENT-based (pandas
+        # stores tag their groups with a 'pandas_type' attr), not
+        # import-based — a plain-h5py file must read correctly even on
+        # machines where PyTables happens to be installed.
+        self._use_pandas = self._detect_pandas_layout()
+        if self._use_pandas:
             import pandas as pd
 
             with pd.HDFStore(self.data_path, mode="r") as hdf:
                 self.keys = list(hdf.keys())
-            self._use_pandas = True
-        except ImportError:
+        else:
             import h5py
 
             with h5py.File(self.data_path, "r") as hdf:
                 self.keys = sorted("/" + k for k in hdf.keys())
-            self._use_pandas = False
+
+    def _detect_pandas_layout(self):
+        try:
+            import h5py
+        except ImportError:
+            return True  # no h5py: only the pandas/PyTables reader can try
+        with h5py.File(self.data_path, "r") as hdf:
+            for k in hdf.keys():
+                return "pandas_type" in hdf[k].attrs
+        return True  # empty file: let pandas report the error
 
     def _patient_series(self, patient):
         if self._use_pandas:

@@ -28,6 +28,14 @@ import math
 import jax
 import jax.numpy as jnp
 
+# the unrolled small-N linalg is the SAME code the live gp_mll path uses —
+# imported, not copied, so this spec cannot silently diverge from it
+from meta_learning_pacoh_tpu.ops.chol import (
+    unrolled_cholesky as _unrolled_chol_batched,
+    unrolled_solve_lower as _unrolled_solve_lower,
+    unrolled_solve_lower_T as _unrolled_solve_lower_T,
+)
+
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
@@ -136,42 +144,6 @@ def _mlp_bwd(ws, bs, x, acts, g_out):
     return dws, dbs
 
 
-def _unrolled_chol_batched(a):
-    """Cholesky of [..., N, N], fully unrolled (ops/chol.unrolled_cholesky)."""
-    n = a.shape[-1]
-    L = [[None] * n for _ in range(n)]
-    for i in range(n):
-        for j in range(i + 1):
-            s = a[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = jnp.sqrt(s) if i == j else s / L[j][j]
-    zero = jnp.zeros_like(a[..., 0, 0])
-    rows = [jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
-            for i in range(n)]
-    return jnp.stack(rows, axis=-2)
-
-
-def _unrolled_solve_lower(L, b):
-    n = b.shape[-1]
-    x = []
-    for i in range(n):
-        s = b[..., i]
-        for k in range(i):
-            s = s - L[..., i, k] * x[k]
-        x.append(s / L[..., i, i])
-    return jnp.stack(x, axis=-1)
-
-
-def _unrolled_solve_lower_T(L, b):
-    n = b.shape[-1]
-    x = [None] * n
-    for i in reversed(range(n)):
-        s = b[..., i]
-        for k in range(i + 1, n):
-            s = s - L[..., k, i] * x[k]
-        x[i] = s / L[..., i, i]
-    return jnp.stack(x, axis=-1)
 
 
 def _unrolled_lower_inv(L):

@@ -130,6 +130,32 @@ def distributed_cholesky(a, mesh, axis_name="task", block_size=128):
     return l_full[:n, :n]
 
 
+def _distributed_kinv(chol_l, mesh, axis_name):
+    """K^-1 from the (replicated) lower factor, with the O(N^3) back-solve
+    COLUMN-SHARDED: device d solves K x = e_j for its own slice of identity
+    columns (two triangular solves on [N, N/D] RHS, O(N^3/D) FLOPs each),
+    and the slices concatenate to the full symmetric inverse. No device ever
+    runs the full N-RHS solve the naive `w = L^-1; w.T @ w` would."""
+    n = chol_l.shape[0]
+    n_dev = mesh.shape[axis_name]
+    cols_per = int(np.ceil(n / n_dev))
+    n_pad = cols_per * n_dev
+
+    def body(l_loc):
+        d = jax.lax.axis_index(axis_name)
+        start = d * cols_per
+        e = (jnp.arange(n)[:, None]
+             == (start + jnp.arange(cols_per))[None, :]).astype(l_loc.dtype)
+        x = solve_triangular(l_loc, e, lower=True)
+        return solve_triangular(l_loc, x, lower=True, trans=1)
+
+    k_inv = shard_map(
+        body, mesh=mesh, in_specs=P(), out_specs=P(None, axis_name),
+        check_vma=False,
+    )(chol_l)
+    return k_inv[:, :n] if n_pad != n else k_inv
+
+
 def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
                        block_size=128):
     """Exact GP marginal log-likelihood (NOT divided by n) for one task whose
@@ -139,9 +165,11 @@ def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
     (the callers divide); matches `ops.gp.gp_mll` for the single-matrix case.
 
     Differentiable: the backward is the closed-form MLL gradient
-    (d/dK = 0.5*(aa^T - K^-1) with a = K^-1 (y - mean)), computed from the
-    already-distributed factor with two replicated triangular solves — the
-    O(N^3) factorization is never repeated or autodiffed through.
+    (d/dK = 0.5*(aa^T - K^-1) with a = K^-1 (y - mean)). The O(N^3)
+    factorization is never repeated or autodiffed through, and the backward's
+    own O(N^3) term — building K^-1 — is column-sharded across the same mesh
+    axis (`_distributed_kinv`), so backward FLOPs split across devices like
+    the forward's trailing updates do.
     """
 
     @jax.custom_vjp
@@ -159,9 +187,7 @@ def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
     def _mll_bwd(res, g):
         chol_l, z = res
         alpha = solve_triangular(chol_l, z[:, None], lower=True, trans=1)[:, 0]
-        w = solve_triangular(chol_l, jnp.eye(chol_l.shape[0], dtype=chol_l.dtype),
-                             lower=True)
-        k_inv = w.T @ w
+        k_inv = _distributed_kinv(chol_l, mesh, axis_name)
         dk = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
         return (g * alpha, g * dk, -g * alpha)
 

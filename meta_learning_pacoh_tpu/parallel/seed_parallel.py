@@ -79,6 +79,9 @@ def fit_models_parallel(models, n_iter=None, log_period=5000, mesh=None,
                 keys are fold_in(base_key, global_step)).
     mesh:       optional Mesh with a 'seed' axis; the stacked seed dimension
                 of every state/data tensor is sharded across its devices.
+                A model count that does not divide the axis size is padded
+                with throwaway replicas of the last model (they train and
+                are discarded), so any S works on any mesh.
 
     Mutates each model in-place exactly as `model.meta_fit(n_iter=n_iter)`
     would (state, opt_state, step count, fitted flag), up to float
@@ -115,6 +118,19 @@ def fit_models_parallel(models, n_iter=None, log_period=5000, mesh=None,
 
     if mesh is not None:
         assert "seed" in mesh.axis_names, "mesh needs a 'seed' axis"
+        n_pad = (-len(models)) % mesh.shape["seed"]
+        if n_pad:
+            # GSPMD needs the sharded axis divisible by the axis size: pad
+            # with replicas of the last model, dropped at unstack time
+            def pad(tree):
+                return jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.repeat(a[-1:], n_pad, axis=0)], axis=0),
+                    tree,
+                )
+
+            state, opt_state, keys = pad(state), pad(opt_state), pad(keys)
+            data = tuple(pad(d) for d in data)
         state = _shard_leading(state, mesh)
         opt_state = _shard_leading(opt_state, mesh)
         keys = _shard_leading(keys, mesh)

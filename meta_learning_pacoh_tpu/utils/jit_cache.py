@@ -13,9 +13,21 @@ hashable `key` that must capture every piece of instance state the builder
 closes over (config dataclasses, learning mode, optimizer hyperparameters,
 static shapes). Instances with the same key then share one function object —
 and therefore one XLA compile cache entry per argument-shape/sharding combo.
+
+The cache is a bounded LRU (`MAX_ENTRIES`): continuous-hyperparameter
+sweeps (e.g. TPE tuning, where nearly every trial mints a fresh lr/wd key)
+would otherwise grow it monotonically — and some builders close over their
+first learner instance (data tensors included), which the cache would pin
+alive for the life of the process. Eviction only drops the cache's
+reference; learners keep working through their own `self._step_fn` handle,
+they just stop donating their compile cache to future instances.
 """
 
-_CACHE = {}
+from collections import OrderedDict
+
+MAX_ENTRIES = 256
+
+_CACHE = OrderedDict()
 
 
 def shared(key, builder):
@@ -26,10 +38,14 @@ def shared(key, builder):
     over must be passed as runtime arguments instead).
     """
     try:
-        return _CACHE[key]
+        artifact = _CACHE[key]
+        _CACHE.move_to_end(key)
+        return artifact
     except KeyError:
         artifact = builder()
         _CACHE[key] = artifact
+        while len(_CACHE) > MAX_ENTRIES:
+            _CACHE.popitem(last=False)
         return artifact
 
 

@@ -72,6 +72,7 @@ _SLOW = {
     # test_seed_parallel.py — vmapped multi-seed fits (big stacked compiles;
     # svgd/vi/maml/per-seed-data variants keep the fast-tier coverage)
     "test_seed_mesh_sharded_matches_unsharded",
+    "test_seed_mesh_pads_non_divisible_model_count",
     "test_np_parallel_runs_and_matches",
     "test_map_parallel_matches_sequential",
     "test_mlap_parallel_matches_sequential",

@@ -159,3 +159,39 @@ class TestProfiling:
                 _t.sleep(0.01)
         assert timer.steps_per_sec > 0
         assert timer.summary()["n_measurements"] == 3
+
+
+class TestJitCache:
+    def test_shared_memoizes_and_lru_evicts(self):
+        from meta_learning_pacoh_tpu.utils import jit_cache
+
+        saved = dict(jit_cache._CACHE)
+        saved_max = jit_cache.MAX_ENTRIES
+        try:
+            jit_cache.clear()
+            jit_cache.MAX_ENTRIES = 3
+            builds = []
+
+            def builder(tag):
+                def b():
+                    builds.append(tag)
+                    return object()
+                return b
+
+            a = jit_cache.shared("a", builder("a"))
+            assert jit_cache.shared("a", builder("a")) is a  # memoized
+            jit_cache.shared("b", builder("b"))
+            jit_cache.shared("a", builder("a"))  # refresh "a" in LRU order
+            jit_cache.shared("c", builder("c"))
+            jit_cache.shared("d", builder("d"))  # evicts "b" (oldest)
+            n, keys = jit_cache.cache_info()
+            assert n == 3 and set(keys) == {"a", "c", "d"}
+            assert builds == ["a", "b", "c", "d"]
+            # evicted key rebuilds; the refreshed one did not
+            assert jit_cache.shared("a", builder("a")) is a
+            jit_cache.shared("b", builder("b"))
+            assert builds == ["a", "b", "c", "d", "b"]
+        finally:
+            jit_cache.MAX_ENTRIES = saved_max
+            jit_cache.clear()
+            jit_cache._CACHE.update(saved)

@@ -222,6 +222,37 @@ class TestSeedMesh:
                 np.asarray(msh.params["noise_raw"]), rtol=1e-4, atol=1e-6,
             )
 
+    def test_seed_mesh_pads_non_divisible_model_count(self):
+        """5 models on an 8-device seed mesh: padded replicas train and are
+        dropped; results match the unsharded group fit."""
+        from meta_learning_pacoh_tpu import GPRegressionMetaLearned
+        from meta_learning_pacoh_tpu.parallel import (
+            fit_models_parallel,
+            make_seed_mesh,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        train = _tasks()
+
+        def batch():
+            return [
+                GPRegressionMetaLearned(train, num_iter_fit=15,
+                                        random_seed=s, task_batch_size=-1)
+                for s in range(5)
+            ]
+
+        plain = batch()
+        fit_models_parallel(plain, n_iter=15)
+        sharded = batch()
+        fit_models_parallel(sharded, n_iter=15, mesh=make_seed_mesh(8))
+        for mp, msh in zip(plain, sharded):
+            np.testing.assert_allclose(
+                np.asarray(mp.params["noise_raw"]),
+                np.asarray(msh.params["noise_raw"]), rtol=1e-4, atol=1e-6,
+            )
+
     def test_config_mismatch_raises(self):
         from meta_learning_pacoh_tpu import GPRegressionMetaLearned
         from meta_learning_pacoh_tpu.parallel import fit_models_parallel
