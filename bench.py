@@ -95,6 +95,11 @@ def main():
     algos = {
         "map": lambda: GPRegressionMetaLearned(
             meta_train, num_iter_fit=2000, random_seed=1),
+        # full-batch MAP auto-dispatches to the fused Pallas training kernel
+        # on TPU (ops/pallas/fused_map_kernel.py)
+        "map_fullbatch": lambda: GPRegressionMetaLearned(
+            meta_train, num_iter_fit=2000, random_seed=1,
+            task_batch_size=-1),
         "svgd": lambda: m,  # reuse the fitted flagship model
         "vi": lambda: GPRegressionMetaLearnedVI(
             meta_train, num_iter_fit=2000, random_seed=1),

@@ -74,6 +74,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self.num_iter_fit = num_iter_fit
         self.task_batch_size = task_batch_size
         self.learning_mode = learning_mode
+        self._optimizer_name, self._lr_decay = optimizer, lr_decay
 
         self._check_and_set_dims(meta_train_data)
         self._compute_normalization_stats(meta_train_data)
@@ -125,6 +126,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             ("pacoh_map.batch_eval", self.cfg), self._build_batch_eval_fn
         )
         self._step_count = 0
+        self._fused = None  # lazily-built Pallas mega-kernel trainer
 
     # ------------------------------------------------------------------ setup
 
@@ -213,6 +215,73 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
 
         return run_chunk
 
+    # ------------------------------------------------ fused-kernel fast path
+    def _fused_path_ok(self):
+        """Whether the single-launch Pallas training kernel applies.
+
+        The MAP mega-kernel (ops/pallas/fused_map_kernel.py) covers: NN mean
+        + NN kernel, learning_mode 'both', full task batch, Adam(W) with
+        constant lr, N within the unrolled-linalg window. Everything else
+        uses the general scan-fused XLA step.
+        """
+        from meta_learning_pacoh_tpu import config
+
+        cfg = self.cfg
+        try:  # optax multi_transform(adamw) state the kernel can carry
+            train = self.opt_state.inner_states["train"]
+            has_adam = hasattr(train.inner_state[0], "mu")
+        except (AttributeError, KeyError, TypeError):
+            return False
+        return (
+            config.pallas_enabled()
+            and self._mesh is None
+            and self.task_batch_size == self.n_tasks
+            and self.learning_mode == "both"
+            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            and cfg.mean_module == "NN" and cfg.covar_module == "NN"
+            and cfg.feature_dim <= 8
+            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
+            and self.X.shape[0] * self.X.shape[1] <= 2048  # VMEM-resident
+            and has_adam
+        )
+
+    def _fused_run_chunk(self, chunk):
+        from meta_learning_pacoh_tpu import config
+        from meta_learning_pacoh_tpu.ops.pallas.fused_map_kernel import (
+            FusedMAPTrainer,
+            pack_state,
+        )
+
+        if self._fused is None:
+            self._fused = FusedMAPTrainer(
+                self.params, self.X, self.Y, self.mask,
+                feature_dim=self.cfg.feature_dim,
+                mean_hidden=self.cfg.mean_nn_layers,
+                kernel_hidden=self.cfg.kernel_nn_layers,
+                lr=self.lr_params, weight_decay=self.weight_decay,
+                noise_floor=self.cfg.noise_floor,
+                interpret=config.pallas_interpret(),
+            )
+            if self._step_count > 0:  # resume: carry the live Adam moments
+                adam = self.opt_state.inner_states["train"].inner_state[0]
+                mh, kh = self.cfg.mean_nn_layers, self.cfg.kernel_nn_layers
+                self._fused.m = pack_state(adam.mu, mh, kh)
+                self._fused.v = pack_state(adam.nu, mh, kh)
+        self._fused.run(chunk, self._step_count)
+
+    def _fused_sync(self, total_steps):
+        """Unpack the kernel-resident state into the canonical learner state
+        (predict/eval/state_dict read self.params / self.opt_state)."""
+        self.params, mu, nu = self._fused.sync()
+        train = self.opt_state.inner_states["train"]
+        adam = train.inner_state[0]._replace(
+            count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
+        )
+        new_inner = (adam,) + tuple(train.inner_state[1:])
+        states = dict(self.opt_state.inner_states)
+        states["train"] = train._replace(inner_state=new_inner)
+        self.opt_state = self.opt_state._replace(inner_states=states)
+
     def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
         """Meta-learns the GP prior parameters. Returns the last loss."""
         assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
@@ -221,21 +290,34 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
 
         import time
 
+        use_fused = self._fused_path_ok()
         t = time.time()
         loss = float("nan")
         remaining = n_iter
         itr = 0
         while remaining > 0:
             chunk = int(min(log_period, remaining))
-            self.params, self.opt_state, losses = self._step_fn(
-                self.params, self.opt_state, self.X, self.Y, self.mask,
-                self._train_key, self._step_count, chunk
-            )
-            remaining -= chunk
-            itr += chunk
-            self._step_count += chunk
-            loss = float(losses[-1])
-            avg_loss = float(jnp.mean(losses))
+            if use_fused:
+                self._fused_run_chunk(chunk)
+                self._step_count += chunk
+                # sync the canonical state lazily: only when this chunk's
+                # metrics are actually read (or once, after the last chunk)
+                if valid_tuples is not None or remaining <= chunk:
+                    self._fused_sync(self._step_count)
+                self._fused.packed["nz"].block_until_ready()
+                loss = avg_loss = float(self._fused.last_loss)
+                remaining -= chunk
+                itr += chunk
+            else:
+                self.params, self.opt_state, losses = self._step_fn(
+                    self.params, self.opt_state, self.X, self.Y, self.mask,
+                    self._train_key, self._step_count, chunk
+                )
+                remaining -= chunk
+                itr += chunk
+                self._step_count += chunk
+                loss = float(losses[-1])
+                avg_loss = float(jnp.mean(losses))
 
             duration = time.time() - t
             t = time.time()
@@ -316,3 +398,4 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self.params = jax.tree.map(jnp.asarray, state_dict["params"])
         self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
         self._step_count = state_dict.get("step", 0)
+        self._fused = None  # repack from the restored state on next fit

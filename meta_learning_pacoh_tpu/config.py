@@ -20,6 +20,25 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # (reference: meta_learn/abstract.py:109); Cholesky stability also wants f32.
 DTYPE = "float32"
 
+# Persistent XLA compilation cache: on tunneled/remote-compile TPU runtimes a
+# single jit compile costs 20-260 s, so executables are cached on disk and
+# survive process restarts (sweep trials, CLI reruns, bench). Only compiles
+# above jax's default time threshold are written. TPU-only: XLA:CPU AOT
+# artifacts embed host machine features and warn/SIGILL when reloaded on a
+# different host, so CPU runs stay uncached. Gated on the env (not
+# jax.default_backend()) to avoid initializing backends at import time.
+# Override the location with PACOH_TPU_COMPILE_CACHE=<dir>, disable with
+# PACOH_TPU_COMPILE_CACHE=off.
+_cache_dir = os.environ.get(
+    "PACOH_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/pacoh_tpu_xla"))
+if (_cache_dir and _cache_dir.lower() not in ("0", "off", "none", "false")
+        and "cpu" not in os.environ.get("JAX_PLATFORMS", "")):
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    except (OSError, AttributeError):  # read-only FS / very old jax: run uncached
+        pass
+
 # Matrix-edge window where the Pallas Cholesky kernels beat XLA's
 # factorization (measured on v5e: below 32 the per-call kernel-launch cost
 # loses to XLA's inlined op inside compiled scans; above 64 the lane-parallel

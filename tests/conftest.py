@@ -69,6 +69,9 @@ _SLOW = {
     "TestPACOHSVGD::test_seed_determinism",  # MAP's stays fast
     "test_meta_learning_beats_per_task_gp",
     "test_more_meta_train_tasks_improve_eval",
+    # test_fused_map.py — fused-vs-XLA learner runs (kernel-level gradient/
+    # loss/trajectory parity stays in the fast tier)
+    "test_learner_fused_matches_xla_and_resumes",
     # test_seed_parallel.py — vmapped multi-seed fits (big stacked compiles;
     # svgd/vi/maml/per-seed-data variants keep the fast-tier coverage)
     "test_seed_mesh_sharded_matches_unsharded",
