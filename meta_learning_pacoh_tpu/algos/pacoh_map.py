@@ -116,7 +116,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                    weight_decay)
         self._setup_optimizer(optimizer, lr_params, lr_decay, opt_key)
         self._step_fn = shared(
-            ("pacoh_map.step",) + opt_key + (self.task_batch_size, self.n_tasks),
+            ("pacoh_map.step",) + opt_key
+            + (self.task_batch_size, self.n_tasks, self._weight_by_counts()),
             self._build_step_fn,
         )
         self._predict_fn = shared(
@@ -174,6 +175,24 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self.opt_state = self._opt.init(self.params)
 
     # ------------------------------------------------------------- train step
+    def _weight_by_counts(self):
+        """On TPU, gathering the sampled task batch costs more than just
+        computing every task's MLL (dynamic gathers lay out poorly; the
+        batched MLL rides the fused lane kernel): weight the full-batch MLL
+        vector by the sampled multiplicities instead. Same randint draws,
+        same estimator, bit-identical expectation — only float association
+        differs (measured on v5e, sin_20 batch 5: 40.8 vs 60.6 us/iter).
+        CPU keeps the gather (cheaper there, golden-stable).
+        PACOH_TPU_MAP_WEIGHTED=0/1 overrides."""
+        import os
+
+        if self.task_batch_size == self.n_tasks:
+            return False
+        val = os.environ.get("PACOH_TPU_MAP_WEIGHTED")
+        if val is not None:
+            return val not in ("0", "false", "no", "")
+        return jax.default_backend() == "tpu"
+
     def _build_step_fn(self):
         cfg = self.cfg
         batch_size = self.task_batch_size
@@ -181,19 +200,29 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         n_tasks = self.n_tasks
 
         full_batch = batch_size == n_tasks
+        weight_by_counts = self._weight_by_counts()
 
         def single_step(carry, key_X_Y_M):
             key, X, Y, M = key_X_Y_M
             params, opt_state = carry
+            counts = None
             if full_batch:
                 # contiguous task axis -> shards cleanly over a 'task' mesh
+                xb, yb, mb = X, Y, M
+            elif weight_by_counts:
+                idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+                counts = jnp.sum(jax.nn.one_hot(idx, n_tasks, dtype=X.dtype),
+                                 axis=0)
                 xb, yb, mb = X, Y, M
             else:
                 idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
                 xb, yb, mb = X[idx], Y[idx], M[idx]
 
             def loss_fn(p):
-                return -jnp.sum(gp_prior_mll_batch(cfg, p, xb, yb, mb))
+                lls = gp_prior_mll_batch(cfg, p, xb, yb, mb)
+                if counts is not None:
+                    lls = counts * lls
+                return -jnp.sum(lls)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)

@@ -170,3 +170,32 @@ def test_learner_fused_matches_xla_and_resumes(monkeypatch):
     ctx_y = np.sin(ctx_x) + 2
     mean, std = m_fused.predict(ctx_x, ctx_y, x)
     assert np.all(np.isfinite(mean)) and np.all(std > 0)
+
+
+def test_weighted_count_task_batching_matches_gather(monkeypatch):
+    """The TPU no-gather step (weight the full-batch MLL vector by sampled
+    task multiplicities) computes the same estimator as the gather step:
+    same randint draws, association-only float differences."""
+
+    def build(s=7):
+        env = SinusoidDataset(random_state=np.random.RandomState(3))
+        mt = env.generate_meta_train_data(n_tasks=6, n_samples=5)
+        return GPRegressionMetaLearned(
+            mt, num_iter_fit=20, random_seed=s, weight_decay=0.1,
+            task_batch_size=3, mean_nn_layers=HIDDEN, kernel_nn_layers=HIDDEN,
+        )
+
+    monkeypatch.setenv("PACOH_TPU_MAP_WEIGHTED", "0")
+    m_gather = build()
+    assert not m_gather._weight_by_counts()
+    m_gather.meta_fit(verbose=False, log_period=20, n_iter=20)
+
+    monkeypatch.setenv("PACOH_TPU_MAP_WEIGHTED", "1")
+    m_weighted = build()
+    assert m_weighted._weight_by_counts()
+    m_weighted.meta_fit(verbose=False, log_period=20, n_iter=20)
+
+    for got, want in zip(jax.tree.leaves(_drop_degenerate(m_weighted.params)),
+                         jax.tree.leaves(_drop_degenerate(m_gather.params))):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=3e-4)
