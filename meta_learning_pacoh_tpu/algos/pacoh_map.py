@@ -184,14 +184,12 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         differs (measured on v5e, sin_20 batch 5: 40.8 vs 60.6 us/iter).
         CPU keeps the gather (cheaper there, golden-stable).
         PACOH_TPU_MAP_WEIGHTED=0/1 overrides."""
-        import os
+        from meta_learning_pacoh_tpu.config import _env_flag
 
         if self.task_batch_size == self.n_tasks:
             return False
-        val = os.environ.get("PACOH_TPU_MAP_WEIGHTED")
-        if val is not None:
-            return val not in ("0", "false", "no", "")
-        return jax.default_backend() == "tpu"
+        return _env_flag("PACOH_TPU_MAP_WEIGHTED",
+                         default=jax.default_backend() == "tpu")
 
     def _build_step_fn(self):
         cfg = self.cfg
@@ -301,6 +299,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
     def _fused_sync(self, total_steps):
         """Unpack the kernel-resident state into the canonical learner state
         (predict/eval/state_dict read self.params / self.opt_state)."""
+        self._fused_dirty = False
         self.params, mu, nu = self._fused.sync()
         train = self.opt_state.inner_states["train"]
         adam = train.inner_state[0]._replace(
@@ -324,42 +323,51 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         loss = float("nan")
         remaining = n_iter
         itr = 0
-        while remaining > 0:
-            chunk = int(min(log_period, remaining))
-            if use_fused:
-                self._fused_run_chunk(chunk)
-                self._step_count += chunk
-                # sync the canonical state lazily: only when this chunk's
-                # metrics are actually read (or once, after the last chunk)
-                if valid_tuples is not None or remaining <= chunk:
-                    self._fused_sync(self._step_count)
-                self._fused.packed["nz"].block_until_ready()
-                loss = avg_loss = float(self._fused.last_loss)
-                remaining -= chunk
-                itr += chunk
-            else:
-                self.params, self.opt_state, losses = self._step_fn(
-                    self.params, self.opt_state, self.X, self.Y, self.mask,
-                    self._train_key, self._step_count, chunk
-                )
-                remaining -= chunk
-                itr += chunk
-                self._step_count += chunk
-                loss = float(losses[-1])
-                avg_loss = float(jnp.mean(losses))
+        try:
+            while remaining > 0:
+                chunk = int(min(log_period, remaining))
+                if use_fused:
+                    self._fused_run_chunk(chunk)
+                    self._step_count += chunk
+                    self._fused_dirty = True
+                    # sync the canonical state lazily: only when this chunk's
+                    # metrics are actually read (or once, after the last
+                    # chunk); the finally-clause syncs on abnormal exits
+                    if valid_tuples is not None or remaining <= chunk:
+                        self._fused_sync(self._step_count)
+                    self._fused.packed["nz"].block_until_ready()
+                    loss = float(self._fused.last_loss)
+                    avg_loss = float(self._fused.avg_loss)
+                    remaining -= chunk
+                    itr += chunk
+                else:
+                    self.params, self.opt_state, losses = self._step_fn(
+                        self.params, self.opt_state, self.X, self.Y, self.mask,
+                        self._train_key, self._step_count, chunk
+                    )
+                    remaining -= chunk
+                    itr += chunk
+                    self._step_count += chunk
+                    loss = float(losses[-1])
+                    avg_loss = float(jnp.mean(losses))
 
-            duration = time.time() - t
-            t = time.time()
-            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
-                itr, n_iter, avg_loss, duration,
-            )
-            if valid_tuples is not None:
-                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
-                    valid_ll, valid_rmse, calib,
+                duration = time.time() - t
+                t = time.time()
+                message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                    itr, n_iter, avg_loss, duration,
                 )
-            if verbose:
-                self.logger.info(message)
+                if valid_tuples is not None:
+                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                    message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
+                                " - Calib-Err %.3f"
+                                % (valid_ll, valid_rmse, calib))
+                if verbose:
+                    self.logger.info(message)
+        finally:
+            # an interrupted fused run must not leave self.params stale
+            # relative to _step_count (state_dict/predict read them)
+            if use_fused and getattr(self, "_fused_dirty", False):
+                self._fused_sync(self._step_count)
 
         self.fitted = True
         return loss

@@ -223,6 +223,7 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
     def _fused_sync(self, total_steps):
         """Unpack the kernel-resident state into the canonical learner state
         (predict/eval/state_dict read self.particles / self.opt_state)."""
+        self._fused_dirty = False
         self.particles, mu, nu = self._fused.sync()
         adam = self.opt_state[0]._replace(
             count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
@@ -238,38 +239,46 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         use_fused = self._fused_path_ok()
         t = time.time()
         remaining, itr = n_iter, 0
-        while remaining > 0:
-            chunk = int(min(log_period, remaining))
-            if use_fused:
-                self._fused_run_chunk(chunk)
-                self._step_count += chunk
-                # sync the canonical state lazily: only when this chunk's
-                # metrics are actually read (or once, after the last chunk)
-                if valid_tuples is not None or remaining <= chunk:
-                    self._fused_sync(self._step_count)
-                # fence on the kernel-resident state (self.particles may be
-                # an already-ready stale array between lazy syncs)
-                self._fused.packed["nz"].block_until_ready()
-            else:
-                self.particles, self.opt_state, _ = self._step_fn(
-                    self.particles, self.opt_state, self.X, self.Y, self.mask,
-                    self._train_key, self._step_count, chunk
-                )
-                self.particles.block_until_ready()
-                self._step_count += chunk
-            remaining -= chunk
-            itr += chunk
+        try:
+            while remaining > 0:
+                chunk = int(min(log_period, remaining))
+                if use_fused:
+                    self._fused_run_chunk(chunk)
+                    self._step_count += chunk
+                    self._fused_dirty = True
+                    # sync the canonical state lazily: only when this chunk's
+                    # metrics are actually read (or once, after the last
+                    # chunk); the finally-clause syncs on abnormal exits
+                    if valid_tuples is not None or remaining <= chunk:
+                        self._fused_sync(self._step_count)
+                    # fence on the kernel-resident state (self.particles may
+                    # be an already-ready stale array between lazy syncs)
+                    self._fused.packed["nz"].block_until_ready()
+                else:
+                    self.particles, self.opt_state, _ = self._step_fn(
+                        self.particles, self.opt_state, self.X, self.Y,
+                        self.mask, self._train_key, self._step_count, chunk
+                    )
+                    self.particles.block_until_ready()
+                    self._step_count += chunk
+                remaining -= chunk
+                itr += chunk
 
-            duration = time.time() - t
-            t = time.time()
-            message = "Iter %d/%d - Time %.2f sec" % (itr, n_iter, duration)
-            if valid_tuples is not None:
-                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
-                    valid_ll, valid_rmse, calib,
-                )
-            if verbose:
-                self.logger.info(message)
+                duration = time.time() - t
+                t = time.time()
+                message = "Iter %d/%d - Time %.2f sec" % (itr, n_iter, duration)
+                if valid_tuples is not None:
+                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                    message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
+                                " - Calib-Err %.3f"
+                                % (valid_ll, valid_rmse, calib))
+                if verbose:
+                    self.logger.info(message)
+        finally:
+            # an interrupted fused run must not leave self.particles stale
+            # relative to _step_count (state_dict/predict read them)
+            if use_fused and getattr(self, "_fused_dirty", False):
+                self._fused_sync(self._step_count)
 
         self.fitted = True
 

@@ -23,16 +23,26 @@ DTYPE = "float32"
 # Persistent XLA compilation cache: on tunneled/remote-compile TPU runtimes a
 # single jit compile costs 20-260 s, so executables are cached on disk and
 # survive process restarts (sweep trials, CLI reruns, bench). Only compiles
-# above jax's default time threshold are written. TPU-only: XLA:CPU AOT
-# artifacts embed host machine features and warn/SIGILL when reloaded on a
-# different host, so CPU runs stay uncached. Gated on the env (not
-# jax.default_backend()) to avoid initializing backends at import time.
+# above jax's default time threshold are written. TPU-only, and the gate
+# FAILS CLOSED: XLA:CPU AOT artifacts embed host machine features and
+# warn/SIGILL when reloaded on a different host, so the cache turns on only
+# when a TPU runtime is positively detected (libtpu installed or
+# JAX_PLATFORMS names tpu) — without initializing backends at import time.
 # Override the location with PACOH_TPU_COMPILE_CACHE=<dir>, disable with
 # PACOH_TPU_COMPILE_CACHE=off.
+def _tpu_runtime_present():
+    import importlib.util
+
+    plat = os.environ.get("JAX_PLATFORMS", "").lower()
+    if "cpu" in plat:
+        return False
+    return "tpu" in plat or importlib.util.find_spec("libtpu") is not None
+
+
 _cache_dir = os.environ.get(
     "PACOH_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/pacoh_tpu_xla"))
 if (_cache_dir and _cache_dir.lower() not in ("0", "off", "none", "false")
-        and "cpu" not in os.environ.get("JAX_PLATFORMS", "")):
+        and _tpu_runtime_present()):
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

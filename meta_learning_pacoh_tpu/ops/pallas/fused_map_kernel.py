@@ -88,7 +88,7 @@ def pack_state(params, mean_hidden, kernel_hidden):
     return out
 
 
-def unpack_state(packed, mean_hidden, kernel_hidden, feature_dim):
+def unpack_state(packed, mean_hidden, kernel_hidden):
     """Inverse of pack_state -> GPConfig NN/NN param pytree."""
     params = {}
     for tag, key, hidden in (("m", "mean_nn", mean_hidden),
@@ -127,7 +127,8 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
         out_state = refs[3 * S + 5:4 * S + 5]
         out_m = refs[4 * S + 5:5 * S + 5]
         out_v = refs[5 * S + 5:6 * S + 5]
-        out_loss = refs[6 * S + 5]
+        out_loss = refs[6 * S + 5]       # [1, 1] last-iteration loss
+        out_loss_sum = refs[6 * S + 6]   # [1, 1] summed loss over the chunk
 
         x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
         y_nm = y_ref[...]     # [M, 1]
@@ -179,7 +180,7 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
             g[f"{tag}_b0"] = _mm(ones_m, dz1)
 
         def body(i, carry):
-            st_l, m_l, v_l, _ = carry
+            st_l, m_l, v_l, _, loss_sum = carry
             st = dict(zip(names, st_l))
 
             # ---------------- forward ----------------
@@ -311,14 +312,14 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
             # loss gradient = -score; AdamW with decoupled weight decay
             g = {nm: -score[nm] for nm in names}
             new_st, new_m, new_v = _adamw_update(g, st_l, m_l, v_l, i)
-            return new_st, new_m, new_v, loss
+            return new_st, new_m, new_v, loss, loss_sum + loss
 
         st0 = tuple(r[...] for r in state_refs)
         m0 = tuple(r[...] for r in m_refs)
         v0 = tuple(r[...] for r in v_refs)
         loss0 = jnp.zeros((1, 1), jnp.float32)
-        st_f, m_f, v_f, loss_f = jax.lax.fori_loop(
-            0, n_steps, body, (st0, m0, v0, loss0))
+        st_f, m_f, v_f, loss_f, loss_sum_f = jax.lax.fori_loop(
+            0, n_steps, body, (st0, m0, v0, loss0, loss0))
         for r, val in zip(out_state, st_f):
             r[...] = val
         for r, val in zip(out_m, m_f):
@@ -326,6 +327,7 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
         for r, val in zip(out_v, v_f):
             r[...] = val
         out_loss[...] = loss_f
+        out_loss_sum[...] = loss_sum_f
 
     return kernel
 
@@ -357,13 +359,13 @@ def fused_map_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm, w_t,
     S = len(names)
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
                    for t in state_in + m_in + v_in]
-                  + [jax.ShapeDtypeStruct((1, 1), jnp.float32)])
+                  + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 4)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 1),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 2),
         input_output_aliases={i: i for i in range(3 * S)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
@@ -372,7 +374,8 @@ def fused_map_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm, w_t,
     new_state = dict(zip(names, outs[:S]))
     new_m = dict(zip(names, outs[S:2 * S]))
     new_v = dict(zip(names, outs[2 * S:3 * S]))
-    return new_state, new_m, new_v, outs[3 * S][0, 0]
+    return (new_state, new_m, new_v, outs[3 * S][0, 0],
+            outs[3 * S + 1][0, 0] / n_steps)
 
 
 class FusedMAPTrainer:
@@ -391,6 +394,7 @@ class FusedMAPTrainer:
         self.noise_floor = float(noise_floor)
         self.interpret = interpret
         self.last_loss = float("nan")
+        self.avg_loss = float("nan")
 
         sizes = np.asarray(jnp.sum(mask, axis=-1))
         w = np.where(sizes > 0, 1.0 / np.maximum(sizes, 1.0), 0.0)
@@ -400,11 +404,11 @@ class FusedMAPTrainer:
         self.m = jax.tree.map(jnp.zeros_like, self.packed)
         self.v = jax.tree.map(jnp.zeros_like, self.packed)
 
-        mh, kh, f = self.mean_hidden, self.kernel_hidden, self.F
+        mh, kh = self.mean_hidden, self.kernel_hidden
         self._unpack3 = jax.jit(lambda p, m, v: (
-            unpack_state(p, mh, kh, f),
-            unpack_state(m, mh, kh, f),
-            unpack_state(v, mh, kh, f),
+            unpack_state(p, mh, kh),
+            unpack_state(m, mh, kh),
+            unpack_state(v, mh, kh),
         ))
 
         self.x = jnp.transpose(X, (1, 0, 2)).reshape(
@@ -415,7 +419,8 @@ class FusedMAPTrainer:
             self.N * self.T, 1).astype(jnp.float32)
 
     def run(self, n_steps, step0):
-        self.packed, self.m, self.v, self.last_loss = fused_map_train_packed(
+        (self.packed, self.m, self.v, self.last_loss,
+         self.avg_loss) = fused_map_train_packed(
             self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
             self.w_t, float(step0), T=self.T, N=self.N, D=self.D, F=self.F,
             mean_hidden=self.mean_hidden, kernel_hidden=self.kernel_hidden,

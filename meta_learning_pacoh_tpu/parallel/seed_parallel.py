@@ -94,7 +94,17 @@ def fit_models_parallel(models, n_iter=None, log_period=5000, mesh=None,
     state_attr, data_attrs = _SPECS[cls]
 
     assert all(type(m) is type(m0) for m in models)
-    assert all(m._step_fn is m0._step_fn for m in models[1:]), (
+
+    def _same_step(m):
+        # identity, or equal jit-cache keys (LRU eviction can mint distinct
+        # function objects for the same static config)
+        if m._step_fn is m0._step_fn:
+            return True
+        ka = getattr(m._step_fn, "_jit_cache_key", None)
+        kb = getattr(m0._step_fn, "_jit_cache_key", None)
+        return ka is not None and ka == kb
+
+    assert all(_same_step(m) for m in models[1:]), (
         "all models must share an identical static config (they then share "
         "one jitted step via utils/jit_cache)"
     )

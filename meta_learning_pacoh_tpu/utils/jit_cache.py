@@ -43,6 +43,12 @@ def shared(key, builder):
         return artifact
     except KeyError:
         artifact = builder()
+        try:
+            # let consumers compare "same config?" by key even when LRU
+            # eviction has minted distinct objects (parallel/seed_parallel)
+            artifact._jit_cache_key = key
+        except AttributeError:
+            pass  # non-function artifacts (e.g. optax namedtuples)
         _CACHE[key] = artifact
         while len(_CACHE) > MAX_ENTRIES:
             _CACHE.popitem(last=False)

@@ -58,7 +58,7 @@ def _trainer(m, interpret=True):
 def test_pack_unpack_roundtrip(small_model):
     m = small_model
     packed = pack_state(m.params, HIDDEN, HIDDEN)
-    rt = unpack_state(packed, HIDDEN, HIDDEN, FDIM)
+    rt = unpack_state(packed, HIDDEN, HIDDEN)
     for got, want in zip(jax.tree.leaves(rt), jax.tree.leaves(m.params)):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
