@@ -111,6 +111,13 @@ def main(argv):
                 except Exception as e:  # quarantine -> sequential fallback
                     print(f"seed-parallel FAILED n_tasks={n_tasks} wd={wd}: "
                           f"{e!r}; falling back to sequential")
+            # In seed-parallel mode the whole group trains in one program, so
+            # per-row duration is the group's wall-clock amortized over the
+            # seeds (t0 is NOT reset inside the loop there — resetting it
+            # would attribute all the training time to the first seed's row).
+            group_duration = (
+                (time.time() - t0) / len(seeds) if per_seed is not None
+                else None)
             for i, seed in enumerate(seeds):
                 if per_seed is not None:
                     metrics = per_seed[i]
@@ -128,9 +135,11 @@ def main(argv):
                     "algo": FLAGS.algo, "dataset": FLAGS.dataset,
                     "n_tasks": n_tasks, "weight_decay": wd, "seed": seed,
                     **metrics,
-                    "duration": time.time() - t0,
+                    "duration": (group_duration if group_duration is not None
+                                 else time.time() - t0),
                 })
-                t0 = time.time()
+                if group_duration is None:
+                    t0 = time.time()
                 print(rows[-1])
                 pd.DataFrame(rows).to_csv(FLAGS.output_csv, index=False)
 

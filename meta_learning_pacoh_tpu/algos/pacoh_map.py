@@ -219,7 +219,13 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             def loss_fn(p):
                 lls = gp_prior_mll_batch(cfg, p, xb, yb, mb)
                 if counts is not None:
-                    lls = counts * lls
+                    # Mask rather than multiply: a NaN/Inf MLL from a task
+                    # that was never sampled this step (count 0) must not
+                    # poison the loss via 0*NaN=NaN — the gather path would
+                    # be unaffected by such a task, so this one must be too.
+                    lls = jnp.where(counts > 0,
+                                    counts * jnp.where(counts > 0, lls, 0.0),
+                                    0.0)
                 return -jnp.sum(lls)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)

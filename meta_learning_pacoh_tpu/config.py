@@ -33,10 +33,24 @@ DTYPE = "float32"
 def _tpu_runtime_present():
     import importlib.util
 
-    plat = os.environ.get("JAX_PLATFORMS", "").lower()
-    if "cpu" in plat:
+    plat = os.environ.get("JAX_PLATFORMS", "").lower().strip()
+    if plat:
+        # Gate on the PRIMARY (first) requested platform: 'tpu,cpu' caches,
+        # 'cpu' / 'cpu,tpu' does not. 'axon' is the tunneled-TPU plugin whose
+        # client still reports platform 'tpu'.
+        return plat.split(",")[0].strip() in ("tpu", "axon")
+    if importlib.util.find_spec("libtpu") is None:
         return False
-    return "tpu" in plat or importlib.util.find_spec("libtpu") is not None
+    # libtpu is importable but TPU init can still fail and silently fall back
+    # to XLA:CPU, whose AOT artifacts are host-specific — resolve the
+    # actually-selected backend before enabling the cache. (This initializes
+    # backends at import time only in the ambiguous no-JAX_PLATFORMS +
+    # libtpu-present case, where the process is about to use the TPU anyway;
+    # CPU subprocesses set JAX_PLATFORMS=cpu and short-circuit above.)
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 _cache_dir = os.environ.get(

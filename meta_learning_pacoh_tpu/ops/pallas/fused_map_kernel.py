@@ -25,6 +25,14 @@ VPU — [T, 1] tiles occupy the same vector registers as the SVGD kernel's
 Fast-path constraints (the general XLA path remains for the rest):
 mean_module == covar_module == 'NN', learning_mode == 'both', full task
 batch, Adam(W) with constant lr, N <= 8 (unrolled-linalg window), f32.
+
+Known divergence from optax: the Adam bias-correction step counter is
+carried as f32 SMEM (`t_f = step0 + i + 1`), so past ~2^24 total steps the
+counter loses integer exactness and the corrections silently diverge from
+optax's int32 count. Harmless in practice — the corrections are ~1.0 long
+before that (1 - b1^t underflows to exactly 1.0 near t ≈ 2.4k for b1=0.9,
+t ≈ 18k for b2=0.999) — but bit-exact optax parity is only claimed for runs
+whose total step count stays below 2^24.
 """
 
 import functools

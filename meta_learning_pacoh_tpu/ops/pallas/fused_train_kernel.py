@@ -319,7 +319,12 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
         ones_m = jnp.ones((1, M), jnp.float32)
 
         def _adam_update(phi_t, st_l, m_l, v_l, i):
-            """Exact optax.adam semantics on the packed state, g = -phi."""
+            """Exact optax.adam semantics on the packed state, g = -phi.
+
+            The step counter is f32 (SMEM), so bit-exact optax parity holds
+            only below 2^24 total steps; past that the bias corrections are
+            ~1.0 anyway (see fused_map_kernel.py module docstring).
+            """
             t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
             bc1 = 1.0 - jnp.exp(t_f * math.log(b1))
             bc2 = 1.0 - jnp.exp(t_f * math.log(b2))
