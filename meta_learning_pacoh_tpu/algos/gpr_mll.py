@@ -64,7 +64,12 @@ class GPRegressionLearned(RegressionModel):
                  weight_decay=0.0, feature_dim=2, num_iter_fit=1000,
                  covar_module="NN", mean_module="NN", mean_nn_layers=(32, 32),
                  kernel_nn_layers=(32, 32), optimizer="Adam", normalize_data=True,
-                 lr_scheduler=True, random_seed=None):
+                 lr_scheduler=True, random_seed=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'task' axis — when the
+        training set is larger than the single-chip blocked-Pallas window
+        (N > BLOCKED_MAX_N), the per-step Gram factorization is distributed
+        across the mesh devices via parallel/dist_chol.py (block rows
+        sharded, panels exchanged over ICI). Smaller N ignores the mesh."""
         super().__init__(normalize_data=normalize_data, random_seed=random_seed)
 
         assert learning_mode in ["learn_mean", "learn_kernel", "both", "vanilla"]
@@ -102,7 +107,16 @@ class GPRegressionLearned(RegressionModel):
         # jit functions are memoized on their full static config so learner
         # instances with identical configs share XLA compile caches (per-task
         # baseline fits construct one learner per task)
-        opt_key = (self.cfg, learning_mode, optimizer, lr, weight_decay)
+        self._dist_linalg = None
+        if mesh is not None and "task" in mesh.axis_names:
+            from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+                BLOCKED_MAX_N,
+            )
+
+            if self.n_train_samples > BLOCKED_MAX_N:
+                self._dist_linalg = (mesh, "task", 128, BLOCKED_MAX_N + 1)
+        opt_key = (self.cfg, learning_mode, optimizer, lr, weight_decay,
+                   self._dist_linalg)
         self._setup_optimizer(optimizer, lr, opt_key)
         self._plateau = ReduceLROnPlateau(factor=0.2 if lr_scheduler else 1.0)
         self._step_fn = shared(("gpr_mll.step",) + opt_key, self._build_step_fn)
@@ -180,16 +194,28 @@ class GPRegressionLearned(RegressionModel):
 
     # ------------------------------------------------------------- train loop
     def _build_step_fn(self):
+        import contextlib
+
+        from meta_learning_pacoh_tpu.ops import gp as gp_ops
+
         cfg = self.cfg
         opt = self._opt
+        dist_linalg = self._dist_linalg
+
+        def dist_ctx():
+            if dist_linalg is None:
+                return contextlib.nullcontext()
+            mesh, axis, block, min_n = dist_linalg
+            return gp_ops.distributed_linalg(mesh, axis, block, min_n)
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
         def run_chunk(params, opt_state, x, y, n_steps):
             def single_step(carry, _):
                 params, opt_state = carry
-                loss, grads = jax.value_and_grad(
-                    lambda p: -gp_prior_mll(cfg, p, x, y)
-                )(params)
+                with dist_ctx():
+                    loss, grads = jax.value_and_grad(
+                        lambda p: -gp_prior_mll(cfg, p, x, y)
+                    )(params)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss

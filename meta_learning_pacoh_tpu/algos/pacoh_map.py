@@ -84,15 +84,33 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             self.task_batch_size = task_batch_size = self.n_tasks
 
         self._mesh = mesh
+        self._dist_linalg = None
         if mesh is not None:
             assert task_batch_size == self.n_tasks, (
                 "mesh-sharded training requires task_batch_size=-1 (full batch)"
             )
-            from meta_learning_pacoh_tpu.parallel.mesh import shard_task_batch
-
-            self.X, self.Y, self.mask = shard_task_batch(
-                mesh, self.X, self.Y, self.mask
+            from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+                BLOCKED_MAX_N,
             )
+
+            if self.X.shape[1] > BLOCKED_MAX_N and "task" in mesh.axis_names:
+                # Large-N regime: the O(N^3) per-task Cholesky dwarfs the
+                # cross-task sum, so instead of spreading TASKS over devices
+                # (DP), every device cooperates on ONE Gram factorization at
+                # a time — block rows sharded over the 'task' mesh axis via
+                # parallel/dist_chol.py (SURVEY.md §5 long-context row; the
+                # N x N system is the analog of the exact-MLL Cholesky inside
+                # reference meta_learn/models.py:505-519). Task tensors stay
+                # replicated.
+                self._dist_linalg = (mesh, "task", 128, BLOCKED_MAX_N + 1)
+            else:
+                from meta_learning_pacoh_tpu.parallel.mesh import (
+                    shard_task_batch,
+                )
+
+                self.X, self.Y, self.mask = shard_task_batch(
+                    mesh, self.X, self.Y, self.mask
+                )
 
         self.cfg = GPConfig(
             input_dim=self.input_dim,
@@ -117,7 +135,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self._setup_optimizer(optimizer, lr_params, lr_decay, opt_key)
         self._step_fn = shared(
             ("pacoh_map.step",) + opt_key
-            + (self.task_batch_size, self.n_tasks, self._weight_by_counts()),
+            + (self.task_batch_size, self.n_tasks, self._weight_by_counts(),
+               self._dist_linalg),
             self._build_step_fn,
         )
         self._predict_fn = shared(
@@ -192,13 +211,26 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                          default=jax.default_backend() == "tpu")
 
     def _build_step_fn(self):
+        import contextlib
+
+        from meta_learning_pacoh_tpu.ops import gp as gp_ops
+
         cfg = self.cfg
         batch_size = self.task_batch_size
         opt = self._opt
         n_tasks = self.n_tasks
+        dist_linalg = self._dist_linalg
 
         full_batch = batch_size == n_tasks
         weight_by_counts = self._weight_by_counts()
+
+        def dist_ctx():
+            # distributed-linalg dispatch happens at TRACE time, so the
+            # context wraps the loss/grad construction inside the jit
+            if dist_linalg is None:
+                return contextlib.nullcontext()
+            mesh, axis, block, min_n = dist_linalg
+            return gp_ops.distributed_linalg(mesh, axis, block, min_n)
 
         def single_step(carry, key_X_Y_M):
             key, X, Y, M = key_X_Y_M
@@ -228,7 +260,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                                     0.0)
                 return -jnp.sum(lls)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            with dist_ctx():
+                loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss

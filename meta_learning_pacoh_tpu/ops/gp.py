@@ -24,6 +24,7 @@ Conventions matching the reference numerics:
 - `noise_var` is a *variance* (gpytorch GaussianLikelihood convention).
 """
 
+import contextlib
 import math
 
 import jax
@@ -38,6 +39,58 @@ from meta_learning_pacoh_tpu.ops.chol import (
 )
 
 _LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ------------------------------------------------- distributed-linalg tier
+#
+# Final dispatch tier above the blocked Pallas window (BLOCKED_MAX_N = 512):
+# with a mesh registered here, `gp_mll`/`gp_mll_batch` route systems with
+# N >= min_n through parallel/dist_chol.py — block rows of each Gram matrix
+# sharded over the mesh axis, panel exchange via psum/all_gather over ICI
+# (SURVEY.md §5 long-context row). Registration is an explicit, scoped
+# opt-in (learners activate it around their loss when constructed with
+# `mesh=` and large-N data) rather than ambient global state, because
+# shard_map cannot nest under vmap: a particle-vmapped score (SVGD/VI)
+# must never reach this tier — `_dispatch_ctx` additionally refuses
+# batch-traced operands so a stray vmapped call falls back to XLA instead
+# of failing.
+
+_DIST_LINALG = None
+
+
+@contextlib.contextmanager
+def distributed_linalg(mesh, axis_name="task", block_size=128, min_n=None):
+    """Route large-N Gram factorizations through the distributed tier.
+
+    min_n: smallest N to distribute (default: BLOCKED_MAX_N + 1, i.e. just
+    past the single-chip blocked Pallas window; tests pass smaller values).
+    The context must be active while the loss is TRACED (dispatch is
+    Python-level), so wrap the jit/grad call site, not the runtime call.
+    """
+    global _DIST_LINALG
+    if min_n is None:
+        from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+            BLOCKED_MAX_N,
+        )
+
+        min_n = BLOCKED_MAX_N + 1
+    prev = _DIST_LINALG
+    _DIST_LINALG = (mesh, axis_name, block_size, int(min_n))
+    try:
+        yield
+    finally:
+        _DIST_LINALG = prev
+
+
+def _dispatch_ctx(n, *operands):
+    """The active distributed-linalg context if this call should use it."""
+    if _DIST_LINALG is None or n < _DIST_LINALG[3]:
+        return None
+    from jax._src.interpreters import batching
+
+    if any(isinstance(op, batching.BatchTracer) for op in operands):
+        return None  # vmapped caller: shard_map can't nest under vmap
+    return _DIST_LINALG
 
 
 def add_noise_masked(K, noise_var, mask=None, jitter=1e-6):
@@ -69,6 +122,16 @@ def gp_mll(mean, K, y, noise_var, mask=None, jitter=1e-6):
         n_eff = jnp.asarray(float(y.shape[-1]), dtype=y.dtype)
 
     n = y.shape[-1]
+    dist = _dispatch_ctx(n, mean, K, y)
+    if dist is not None:
+        from meta_learning_pacoh_tpu.parallel.dist_chol import (
+            distributed_gp_mll,
+        )
+
+        d_mesh, d_axis, d_block, _ = dist
+        mll = distributed_gp_mll(jnp.zeros_like(r), Kn, r, d_mesh, d_axis,
+                                 d_block, n_eff=n_eff)
+        return mll / n_eff
     if n <= UNROLL_MAX_N:
         # tiny N: fully-unrolled factorization + solve fuse into the
         # surrounding kernel — no while-loop HLOs in the hot path. Jitter
@@ -132,6 +195,25 @@ def gp_mll_batch(mean, K, y, noise_var, mask=None, jitter=1e-6):
 
     n = y.shape[-1]
     noise_b = jnp.broadcast_to(jnp.asarray(noise_var), y.shape[:-1])
+    dist = _dispatch_ctx(n, mean, K, y)
+    if dist is not None:
+        from meta_learning_pacoh_tpu.parallel.dist_chol import (
+            distributed_gp_mll_batch,
+        )
+
+        d_mesh, d_axis, d_block, _ = dist
+        Kn = jax.vmap(lambda k, nv, m: add_noise_masked(k, nv, m, jitter),
+                      in_axes=(0, 0, 0 if mask is not None else None))(
+                          K, noise_b, mask)
+        r = y - mean
+        if mask is not None:
+            r = r * mask
+            n_eff = jnp.sum(mask, axis=-1)
+        else:
+            n_eff = jnp.full(y.shape[:-1], float(n), dtype=y.dtype)
+        mlls = distributed_gp_mll_batch(jnp.zeros_like(r), Kn, r, d_mesh,
+                                        d_axis, d_block, n_eff=n_eff)
+        return mlls / n_eff
     use_lane = (
         config.pallas_enabled()
         and MLL_KERNEL_MIN_N <= n <= MLL_KERNEL_MAX_N

@@ -7,6 +7,7 @@ from meta_learning_pacoh_tpu.parallel.mesh import (
 from meta_learning_pacoh_tpu.parallel.dist_chol import (
     distributed_cholesky,
     distributed_gp_mll,
+    distributed_gp_mll_batch,
 )
 from meta_learning_pacoh_tpu.parallel.seed_parallel import (
     fit_models_parallel,

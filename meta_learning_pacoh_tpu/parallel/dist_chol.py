@@ -157,12 +157,17 @@ def _distributed_kinv(chol_l, mesh, axis_name):
 
 
 def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
-                       block_size=128):
+                       block_size=128, n_eff=None):
     """Exact GP marginal log-likelihood (NOT divided by n) for one task whose
     Gram matrix is factored across the mesh via `distributed_cholesky`.
 
     Reference semantics: gpytorch ExactMarginalLogLikelihood without the /n
     (the callers divide); matches `ops.gp.gp_mll` for the single-matrix case.
+    `n_eff` (default: y's length) is the number of REAL points for the
+    n·log(2π) constant — pass the mask sum for padded systems whose Gram
+    rows/cols were replaced by identity rows (ops.gp.add_noise_masked): those
+    rows contribute 0 to the quadratic form and the log-determinant already,
+    so only the constant needs the effective count.
 
     Differentiable: the backward is the closed-form MLL gradient
     (d/dK = 0.5*(aa^T - K^-1) with a = K^-1 (y - mean)). The O(N^3)
@@ -171,17 +176,19 @@ def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
     axis (`_distributed_kinv`), so backward FLOPs split across devices like
     the forward's trailing updates do.
     """
+    if n_eff is None:
+        n_eff = float(y.shape[-1])
+    n_eff = jnp.asarray(n_eff, dtype=y.dtype)
 
     @jax.custom_vjp
-    def _mll(mean_, k_, y_):
-        return _mll_fwd(mean_, k_, y_)[0]
+    def _mll(mean_, k_, y_, n_eff_):
+        return _mll_fwd(mean_, k_, y_, n_eff_)[0]
 
-    def _mll_fwd(mean_, k_, y_):
-        n = y_.shape[-1]
+    def _mll_fwd(mean_, k_, y_, n_eff_):
         chol_l = distributed_cholesky(k_, mesh, axis_name, block_size)
         z = solve_triangular(chol_l, (y_ - mean_)[:, None], lower=True)[:, 0]
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol_l)))
-        mll = -0.5 * (jnp.sum(z * z) + logdet + n * jnp.log(2.0 * jnp.pi))
+        mll = -0.5 * (jnp.sum(z * z) + logdet + n_eff_ * jnp.log(2.0 * jnp.pi))
         return mll, (chol_l, z)
 
     def _mll_bwd(res, g):
@@ -189,7 +196,35 @@ def distributed_gp_mll(mean, k_noisy, y, mesh, axis_name="task",
         alpha = solve_triangular(chol_l, z[:, None], lower=True, trans=1)[:, 0]
         k_inv = _distributed_kinv(chol_l, mesh, axis_name)
         dk = 0.5 * (jnp.outer(alpha, alpha) - k_inv)
-        return (g * alpha, g * dk, -g * alpha)
+        return (g * alpha, g * dk, -g * alpha, jnp.zeros_like(g))
 
     _mll.defvjp(_mll_fwd, _mll_bwd)
-    return _mll(mean, k_noisy, y)
+    return _mll(mean, k_noisy, y, n_eff)
+
+
+def distributed_gp_mll_batch(means, ks_noisy, ys, mesh, axis_name="task",
+                             block_size=128, n_eff=None):
+    """Batched multi-task distributed MLL: B tasks, each an [N, N] system
+    factored ACROSS the mesh (matrix parallelism, not task parallelism).
+
+    means, ys: [B, N]; ks_noisy: [B, N, N]; n_eff: [B] real-point counts or
+    None. Returns [B] MLLs (NOT divided by n — callers divide, matching
+    `distributed_gp_mll`).
+
+    The tasks run SEQUENTIALLY (lax.map): this tier exists for N large enough
+    that one Gram matrix is worth sharding over every device, so all chips
+    cooperate on one factorization at a time — the opposite regime from the
+    task-axis DP sharding in parallel/mesh.py (many small tasks, one per
+    device group). Reference analog: the per-task ExactMarginalLogLikelihood
+    sum of GPR_meta_mll.py:109-115, for dataset sizes the reference never
+    reaches.
+    """
+    if n_eff is None:
+        n_eff = jnp.full(ys.shape[:-1], float(ys.shape[-1]), dtype=ys.dtype)
+
+    def one(args):
+        m, k, y, ne = args
+        return distributed_gp_mll(m, k, y, mesh, axis_name, block_size,
+                                  n_eff=ne)
+
+    return jax.lax.map(one, (means, ks_noisy, ys, n_eff))

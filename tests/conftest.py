@@ -57,6 +57,8 @@ _SLOW = {
     "test_distributed_cholesky_matches_xla[256-32]",
     "test_distributed_mll_gradient_matches_xla_autodiff",
     "test_distributed_mll_matches_closed_form",
+    "test_batched_distributed_mll_and_dispatch_match_xla",
+    "test_map_learner_routes_large_n_through_distributed_tier",
     # test_learners.py — full training loops
     "test_full_cov_trains_finite",
     "test_elbo_decreases_diag",
