@@ -91,6 +91,11 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             covar_module=covar_module, mean_nn_layers=mean_nn_layers,
             kernel_nn_layers=kernel_nn_layers,
         )
+        self._cov_type = cov_type
+        self._optimizer_name = optimizer
+        self._lr, self._lr_decay = lr, lr_decay
+        self._weight_prior_std = weight_prior_std
+        self._bias_prior_std = bias_prior_std
         self.hyper_prior = make_hyper_prior(
             self.cfg, weight_prior_std=weight_prior_std, bias_prior_std=bias_prior_std
         )
@@ -123,6 +128,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             ("pacoh_vi.batch_eval",) + hp_key, self._build_batch_eval_fn
         )
         self._step_count = 0
+        self._fused = None  # lazily-built Pallas mega-kernel trainer
 
 
     # ------------------------------------------------------------- train step
@@ -172,36 +178,123 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
 
         return run_chunk
 
+    # ------------------------------------------------ fused-kernel fast path
+    def _fused_path_ok(self):
+        """Whether the single-launch Pallas VI training kernel applies.
+
+        The mega-kernel (ops/pallas/fused_vi_kernel.py) covers the flagship
+        configuration: NN mean + NN kernel with one shared hidden width,
+        feature_dim 1, diag posterior, full task batch, constant-lr Adam,
+        N within the unrolled-linalg window. Everything else uses the
+        general scan-fused XLA step.
+        """
+        from meta_learning_pacoh_tpu import config
+
+        cfg = self.cfg
+        hidden = tuple(cfg.mean_nn_layers)
+        return (
+            config.pallas_enabled()
+            and self._mesh is None
+            and self._cov_type == "diag"
+            and self.task_batch_size == self.n_tasks
+            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            and cfg.mean_module == "NN" and cfg.covar_module == "NN"
+            and cfg.feature_dim == 1
+            and hidden == tuple(cfg.kernel_nn_layers)
+            and len(set(hidden)) == 1 and len(hidden) >= 1
+            and self.svi_batch_size * hidden[0] <= 1024  # lane budget
+            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
+            and hasattr(self.opt_state[0], "mu")
+        )
+
+    def _fused_run_chunk(self, chunk):
+        from meta_learning_pacoh_tpu import config
+        from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
+            pack_state,
+        )
+        from meta_learning_pacoh_tpu.ops.pallas.fused_vi_kernel import (
+            FusedVITrainer,
+        )
+
+        hidden = tuple(self.cfg.mean_nn_layers)
+        if self._fused is None:
+            self._fused = FusedVITrainer(
+                self.hyper_prior, self.posterior, self.X, self.Y, self.mask,
+                hidden=hidden, lr=self._lr, prior_factor=self.prior_factor,
+                weight_prior_std=self._weight_prior_std,
+                bias_prior_std=self._bias_prior_std,
+                svi_batch_size=self.svi_batch_size,
+                base_key=self._train_key,
+                interpret=config.pallas_interpret(),
+            )
+            if self._step_count > 0:  # resume: carry the live Adam moments
+                adam = self.opt_state[0]
+                self._fused.m_loc = pack_state(
+                    self.hyper_prior, adam.mu["loc"][None, :], hidden)
+                self._fused.m_lsc = pack_state(
+                    self.hyper_prior, adam.mu["log_scale"][None, :], hidden)
+                self._fused.v_loc = pack_state(
+                    self.hyper_prior, adam.nu["loc"][None, :], hidden)
+                self._fused.v_lsc = pack_state(
+                    self.hyper_prior, adam.nu["log_scale"][None, :], hidden)
+        self._fused.run(chunk, self._step_count)
+
+    def _fused_sync(self, total_steps):
+        """Unpack the kernel-resident state into the canonical learner state
+        (predict/eval/state_dict read self.posterior / self.opt_state)."""
+        self._fused_dirty = False
+        self.posterior, mu, nu = self._fused.sync()
+        adam = self.opt_state[0]._replace(
+            count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
+        )
+        self.opt_state = (adam,) + tuple(self.opt_state[1:])
+
     def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
         """Fits the variational hyper-posterior by minimizing the negative ELBO."""
         assert (valid_tuples is None) or all(len(t) == 4 for t in valid_tuples)
         if n_iter is None:
             n_iter = self.num_iter_fit
 
+        use_fused = self._fused_path_ok()
         t = time.time()
         loss = float("nan")
         remaining, itr = n_iter, 0
-        while remaining > 0:
-            chunk = int(min(log_period, remaining))
-            self.posterior, self.opt_state, losses = self._step_fn(
-                self.posterior, self.opt_state, self.X, self.Y, self.mask,
-                self._train_key, self._step_count, chunk
-            )
-            remaining -= chunk
-            itr += chunk
-            self._step_count += chunk
-            loss = float(losses[-1])
+        try:
+            while remaining > 0:
+                chunk = int(min(log_period, remaining))
+                if use_fused:
+                    self._fused_run_chunk(chunk)
+                    self._step_count += chunk
+                    self._fused_dirty = True
+                    if valid_tuples is not None or remaining <= chunk:
+                        self._fused_sync(self._step_count)
+                    loss = float(self._fused.last_loss)
+                else:
+                    self.posterior, self.opt_state, losses = self._step_fn(
+                        self.posterior, self.opt_state, self.X, self.Y,
+                        self.mask, self._train_key, self._step_count, chunk
+                    )
+                    self._step_count += chunk
+                    loss = float(losses[-1])
+                remaining -= chunk
+                itr += chunk
 
-            duration = time.time() - t
-            t = time.time()
-            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (itr, n_iter, loss, duration)
-            if valid_tuples is not None:
-                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
-                    valid_ll, valid_rmse, calib,
-                )
-            if verbose:
-                self.logger.info(message)
+                duration = time.time() - t
+                t = time.time()
+                message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                    itr, n_iter, loss, duration)
+                if valid_tuples is not None:
+                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                    message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
+                        valid_ll, valid_rmse, calib,
+                    )
+                if verbose:
+                    self.logger.info(message)
+        finally:
+            # an interrupted fused run must not leave self.posterior stale
+            # relative to _step_count (state_dict/predict read it)
+            if use_fused and getattr(self, "_fused_dirty", False):
+                self._fused_sync(self._step_count)
 
         self.fitted = True
         return loss
@@ -303,3 +396,4 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         self.posterior = jax.tree.map(jnp.asarray, state_dict["posterior"])
         self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
         self._step_count = state_dict.get("step", 0)
+        self._fused = None  # repack from the restored state on next fit

@@ -268,20 +268,8 @@ def _kinv_e(W, n):
 # ------------------------------------------------------------- kernel body
 
 
-def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
-                 n_steps, b1=0.9, b2=0.999, eps=1e-8,
-                 ablate=()):
-    """ablate: internal profiling knobs — subsets of
-    {'no_jitter_trials', 'no_transport', 'no_backward'} that skip kernel
-    sections to attribute per-iteration cost. Production always uses ()."""
-    assert F == 1
-    n_hidden = len(hidden)
-    M = T * N
-    names = state_names(n_hidden)
-    S = len(names)
-    log_kp1 = math.log(K + 1)
-
-    # (loc, scale) of the hyper-prior per state tensor
+def hyper_prior_loc_scale(n_hidden, wps, bps):
+    """(loc, scale) of the factorized hyper-prior per packed state tensor."""
     prior_ls = {}
     for tag in ("m", "k"):
         prior_ls[f"{tag}_w1cat"] = (0.0, wps)
@@ -293,52 +281,28 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
         prior_ls[f"{tag}_boutcat"] = (0.0, bps)
     prior_ls["ls"] = (0.0, 1.0)
     prior_ls["nz"] = (-1.0, 1.0)
+    return prior_ls
 
-    H0, HL = hidden[0], hidden[-1]
 
-    def kernel(*refs):
-        state_refs = refs[:S]
-        m_refs = refs[S:2 * S]
-        v_refs = refs[2 * S:3 * S]
-        x_ref, y_ref, mask_ref, w_ref, step0_ref = refs[3 * S:3 * S + 5]
-        out_state = refs[3 * S + 5:4 * S + 5]
-        out_m = refs[4 * S + 5:5 * S + 5]
-        out_v = refs[5 * S + 5:6 * S + 5]
+def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
+                       ablate=(), want_wql=False):
+    """Build the per-iteration K-lane particle-score computation.
 
-        x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
-        y_nm = y_ref[...]     # [M, 1], same row order
-        msk = mask_ref[...]   # [M, 1]
-        w_t = w_ref[...]      # [T, 1]  pre / n_eff (0 for empty tasks)
-        step0 = step0_ref[0, 0]
+    Shared by the fused SVGD kernel (K = particles) and the fused VI kernel
+    (K = reparameterized posterior samples): NN/NN forward, entry-wise
+    [T, K] exact-MLL linalg with jitter escalation, hand-derived backward,
+    and the hyper-prior gradient term. Returns
+        score_fn(st, x, y_nm, msk, w_t, sumL, ones_m) -> (score, wql)
+    where `score[nm]` matches the packed state layouts and `wql` (only when
+    want_wql) is the [1, K] per-lane sum_t w_t * (quad_t + logdet_t) of the
+    factored systems — the dynamic part of the weighted MLL sum, from which
+    a caller reconstructs sum_t w_t*MLL_t = -0.5*(wql + const) with the
+    static const = sum_t w_t * n_eff_t * log(2*pi).
+    """
+    n_hidden = len(hidden)
+    names = state_names(n_hidden)
 
-        # static helper matrices (built in-register from iota)
-        sum0 = _block_sum_mat(K, H0)          # [K*H0, K]
-        sumL = _block_sum_mat(K, HL)          # [K*HL, K]
-        stackL = {h: _stack_mat(K, h) for h in set(hidden[1:] or [HL])}
-        same0 = _same_pos_mask(K, H0)
-        ones_m = jnp.ones((1, M), jnp.float32)
-
-        def _adam_update(phi_t, st_l, m_l, v_l, i):
-            """Exact optax.adam semantics on the packed state, g = -phi.
-
-            The step counter is f32 (SMEM), so bit-exact optax parity holds
-            only below 2^24 total steps; past that the bias corrections are
-            ~1.0 anyway (see fused_map_kernel.py module docstring).
-            """
-            t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
-            bc1 = 1.0 - jnp.exp(t_f * math.log(b1))
-            bc2 = 1.0 - jnp.exp(t_f * math.log(b2))
-            new_st, new_m, new_v = [], [], []
-            for nm, th, m_, v_ in zip(names, st_l, m_l, v_l):
-                g = -phi_t[nm]
-                m_n = b1 * m_ + (1.0 - b1) * g
-                v_n = b2 * v_ + (1.0 - b2) * g * g
-                upd = (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)
-                new_st.append(th - lr * upd)
-                new_m.append(m_n)
-                new_v.append(v_n)
-            return (tuple(new_st), tuple(new_m), tuple(new_v))
-
+    def score_fn(st, x, y_nm, msk, w_t, sumL, ones_m):
         def net_forward(st, tag):
             a = None
             acts = []
@@ -378,10 +342,7 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
             g[f"{tag}_b1cat"] = _mm(ones_m, dz1)
             return g
 
-        def body(i, carry):
-            st_l, m_l, v_l = carry
-            st = dict(zip(names, st_l))
-
+        def compute():
             # ---------------- forward ----------------
             mu, m_acts = net_forward(st, "m")    # [M, K]
             phi, k_acts = net_forward(st, "k")   # [M, K]
@@ -500,6 +461,89 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
                     loc, scale = prior_ls[nm]
                     score[nm] = score[nm] + prior_factor * (
                         -(st[nm] - loc) / (scale * scale))
+
+            wql = None
+            if want_wql:
+                # dynamic part of sum_t w_t * MLL_t for the VI loss output
+                quad_logdet = None
+                for i2 in range(N):
+                    term = zs[i2] * zs[i2] + 2.0 * jnp.log(L[(i2, i2)])
+                    quad_logdet = (term if quad_logdet is None
+                                   else quad_logdet + term)
+                wql = jnp.sum(w_t * quad_logdet, axis=0, keepdims=True)
+            return score, wql
+
+        return compute()
+
+    return score_fn
+
+
+def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
+                 n_steps, b1=0.9, b2=0.999, eps=1e-8,
+                 ablate=()):
+    """ablate: internal profiling knobs — subsets of
+    {'no_jitter_trials', 'no_transport', 'no_backward', 'no_median'} that
+    skip kernel sections to attribute per-iteration cost. Production always
+    uses ()."""
+    assert F == 1
+    n_hidden = len(hidden)
+    M = T * N
+    names = state_names(n_hidden)
+    S = len(names)
+    log_kp1 = math.log(K + 1)
+    prior_ls = hyper_prior_loc_scale(n_hidden, wps, bps)
+    H0, HL = hidden[0], hidden[-1]
+    score_section = make_score_section(
+        K=K, T=T, N=N, D=D, hidden=hidden, prior_factor=prior_factor,
+        prior_ls=prior_ls, ablate=ablate)
+
+    def kernel(*refs):
+        state_refs = refs[:S]
+        m_refs = refs[S:2 * S]
+        v_refs = refs[2 * S:3 * S]
+        x_ref, y_ref, mask_ref, w_ref, step0_ref = refs[3 * S:3 * S + 5]
+        out_state = refs[3 * S + 5:4 * S + 5]
+        out_m = refs[4 * S + 5:5 * S + 5]
+        out_v = refs[5 * S + 5:6 * S + 5]
+
+        x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
+        y_nm = y_ref[...]     # [M, 1], same row order
+        msk = mask_ref[...]   # [M, 1]
+        w_t = w_ref[...]      # [T, 1]  pre / n_eff (0 for empty tasks)
+        step0 = step0_ref[0, 0]
+
+        # static helper matrices (built in-register from iota)
+        sum0 = _block_sum_mat(K, H0)          # [K*H0, K]
+        sumL = _block_sum_mat(K, HL)          # [K*HL, K]
+        stackL = {h: _stack_mat(K, h) for h in set(hidden[1:] or [HL])}
+        same0 = _same_pos_mask(K, H0)
+        ones_m = jnp.ones((1, M), jnp.float32)
+
+        def _adam_update(phi_t, st_l, m_l, v_l, i):
+            """Exact optax.adam semantics on the packed state, g = -phi.
+
+            The step counter is f32 (SMEM), so bit-exact optax parity holds
+            only below 2^24 total steps; past that the bias corrections are
+            ~1.0 anyway (see fused_map_kernel.py module docstring).
+            """
+            t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
+            bc1 = 1.0 - jnp.exp(t_f * math.log(b1))
+            bc2 = 1.0 - jnp.exp(t_f * math.log(b2))
+            new_st, new_m, new_v = [], [], []
+            for nm, th, m_, v_ in zip(names, st_l, m_l, v_l):
+                g = -phi_t[nm]
+                m_n = b1 * m_ + (1.0 - b1) * g
+                v_n = b2 * v_ + (1.0 - b2) * g * g
+                upd = (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)
+                new_st.append(th - lr * upd)
+                new_m.append(m_n)
+                new_v.append(v_n)
+            return (tuple(new_st), tuple(new_m), tuple(new_v))
+
+        def body(i, carry):
+            st_l, m_l, v_l = carry
+            st = dict(zip(names, st_l))
+            score, _ = score_section(st, x, y_nm, msk, w_t, sumL, ones_m)
 
             # ---------------- Stein transport ----------------
             if "no_transport" in ablate:  # profiling only: phi := score

@@ -1,0 +1,528 @@
+"""Pallas TPU kernel: an ENTIRE PACOH-VI training run in one kernel launch.
+
+PACOH-VI (reference: meta_learn/GPR_meta_vi.py:216-226) fits a diagonal
+Gaussian hyper-posterior q(theta) = N(loc, diag(exp(log_scale))^2) by Adam
+on the reparameterized negative ELBO with S samples per iteration. This
+kernel runs that whole loop inside one `pl.pallas_call`: per iteration it
+
+  1. streams that iteration's packed standard-normal page eps_i from HBM
+     into VMEM (async DMA inside the fori_loop — the one per-step input
+     that cannot live VMEM-resident for a 10k-iteration run),
+  2. forms the S samples  theta_s = loc + exp(log_scale) * eps_s  directly
+     in the fused SVGD kernel's S-lane particle layout (loc/log_scale are
+     held in the K=1 packed layout and broadcast to lane blocks with
+     stacked-identity matmuls; block-diagonal hidden layers are expanded
+     lane-stacked then masked onto the block diagonal),
+  3. reuses the shared score section (fused_train_kernel.make_score_section,
+     K = S) — NN/NN GP forward, entry-wise [T, S] exact-MLL linalg with
+     jitter escalation, hand-derived backward, hyper-prior term — to get
+     score_s = d obj_s / d theta_s for every sample lane at once,
+  4. reduces the lanes into the closed-form reparameterization gradients
+         d/d loc       = -mean_s score_s
+         d/d log_scale = -exp(log_scale) * mean_s(score_s * eps_s)
+                         - prior_factor          (entropy term, exact)
+     with stacked-identity matmuls (the exact adjoints of the broadcasts),
+  5. applies an exact optax.adam update to (loc, log_scale).
+
+The reparameterization noise is generated HOST-side per chunk with the
+same fold_in/split key discipline as the XLA learner step
+(algos/pacoh_vi.py single_step), so the fused path follows the exact same
+random trajectory as the XLA path — kernel == closed-form spec
+(ops/fused_vi_math.py) == jax.grad learner step, verified in
+tests/test_fused_vi.py. Streaming cost: one [R_pad, S*H] f32 page
+(~100 KB at the flagship config) per iteration, overlapped trivially
+against the ~30 us of compute.
+
+Fast-path constraints (the general XLA path remains for the rest):
+mean_module == covar_module == 'NN' with one shared hidden width,
+feature_dim == 1, cov_type == 'diag', full task batch, Adam with constant
+lr, N <= 8 (the unrolled-linalg window), f32.
+
+The Adam step counter is f32 SMEM — the 2^24-step caveat of
+fused_map_kernel.py applies.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
+    _bd_mask,
+    _block_sum_mat,
+    _mm,
+    _mm_nt,
+    _mm_tn,
+    _stack_mat,
+    hyper_prior_loc_scale,
+    make_score_section,
+    state_names,
+)
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ------------------------------------------------------------- eps layout
+
+
+def eps_layout(hidden, d, s):
+    """Row layout of one iteration's packed noise page.
+
+    Returns ([(name, row_offset, n_rows, n_lanes)], padded_rows, lanes).
+    Wide tensors use all S*H lanes; per-sample scalars (boutcat/ls/nz) use
+    the first S lanes. wbd pages are LANE-STACKED [H_in, S*H_out] (sample s
+    occupies lane block s), expanded onto the block diagonal in-kernel.
+    """
+    h = hidden[0]
+    lanes = s * h
+    rows = []
+    off = 0
+    for tag in ("m", "k"):
+        rows.append((f"{tag}_w1cat", off, d, lanes))
+        off += d
+        rows.append((f"{tag}_b1cat", off, 1, lanes))
+        off += 1
+        for i in range(1, len(hidden)):
+            rows.append((f"{tag}_wbd{i}", off, hidden[i - 1], s * hidden[i]))
+            off += hidden[i - 1]
+            rows.append((f"{tag}_bcat{i}", off, 1, s * hidden[i]))
+            off += 1
+        rows.append((f"{tag}_woutcat", off, 1, s * hidden[-1]))
+        off += 1
+        rows.append((f"{tag}_boutcat", off, 1, s))
+        off += 1
+    rows.append(("ls", off, 1, s))
+    off += 1
+    rows.append(("nz", off, 1, s))
+    off += 1
+    r_pad = -(-off // 8) * 8
+    # the per-iteration HBM->VMEM DMA requires the page's lane dimension
+    # aligned to the 128-lane tiling; kernel-side slices stay narrow
+    lanes_pad = max(128, -(-lanes // 128) * 128)
+    return rows, r_pad, lanes_pad
+
+
+def pack_eps_page(hyper_prior, eps_flat, hidden):
+    """[S, P] standard normals -> one [R_pad, LANES] page (host side)."""
+    from meta_learning_pacoh_tpu.ops.fused_svgd_math import (
+        particles_to_blocks,
+    )
+
+    s = eps_flat.shape[0]
+    blocks = particles_to_blocks(hyper_prior, eps_flat)
+    d = blocks["mean_ws"][0].shape[1]
+    layout, r_pad, lanes = eps_layout(hidden, d, s)
+    n_hidden = len(hidden)
+
+    pages = {}
+    for tag, ws, bs in (("m", blocks["mean_ws"], blocks["mean_bs"]),
+                        ("k", blocks["kernel_ws"], blocks["kernel_bs"])):
+        pages[f"{tag}_w1cat"] = jnp.transpose(ws[0], (1, 0, 2)).reshape(
+            d, s * hidden[0])
+        pages[f"{tag}_b1cat"] = bs[0].reshape(1, s * hidden[0])
+        for i in range(1, n_hidden):
+            pages[f"{tag}_wbd{i}"] = jnp.transpose(ws[i], (1, 0, 2)).reshape(
+                hidden[i - 1], s * hidden[i])
+            pages[f"{tag}_bcat{i}"] = bs[i].reshape(1, s * hidden[i])
+        pages[f"{tag}_woutcat"] = ws[-1][:, :, 0].reshape(1, s * hidden[-1])
+        pages[f"{tag}_boutcat"] = bs[-1].reshape(1, s)
+    pages["ls"] = blocks["ls_raw"].reshape(1, s)
+    pages["nz"] = blocks["noise_raw"].reshape(1, s)
+
+    page = jnp.zeros((r_pad, lanes), jnp.float32)
+    for nm, off, nr, nl in layout:
+        page = jax.lax.dynamic_update_slice(
+            page, pages[nm].astype(jnp.float32), (off, 0))
+    return page
+
+
+# ------------------------------------------------------------- kernel body
+
+
+def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
+                    mll_const, lp_const, ent_const, n_steps,
+                    b1=0.9, b2=0.999, eps_adam=1e-8):
+    """S = svi sample count (the lane-block count of the score section)."""
+    n_hidden = len(hidden)
+    M = T * N
+    names = state_names(n_hidden)
+    NS = len(names)
+    H = hidden[0]
+    prior_ls = hyper_prior_loc_scale(n_hidden, wps, bps)
+    layout, r_pad, lanes = eps_layout(hidden, D, S)
+    eps_slices = {nm: (off, nr, nl) for nm, off, nr, nl in layout}
+    score_section = make_score_section(
+        K=S, T=T, N=N, D=D, hidden=hidden, prior_factor=prior_factor,
+        prior_ls=prior_ls, want_wql=True)
+
+    # static shapes of the K=1 packed posterior tensors, for iteration
+    k1_rows = {}
+    for tag in ("m", "k"):
+        k1_rows[f"{tag}_w1cat"] = D
+        k1_rows[f"{tag}_b1cat"] = 1
+        for i in range(1, n_hidden):
+            k1_rows[f"{tag}_wbd{i}"] = hidden[i - 1]
+            k1_rows[f"{tag}_bcat{i}"] = 1
+        k1_rows[f"{tag}_woutcat"] = 1
+        k1_rows[f"{tag}_boutcat"] = 1
+    k1_rows["ls"] = 1
+    k1_rows["nz"] = 1
+
+    def kernel(*refs):
+        loc_refs = refs[:NS]
+        lsc_refs = refs[NS:2 * NS]
+        mom_refs = refs[2 * NS:6 * NS]  # m_loc, m_lsc, v_loc, v_lsc
+        x_ref, y_ref, mask_ref, w_ref = refs[6 * NS:6 * NS + 4]
+        eps_hbm = refs[6 * NS + 4]
+        step0_ref = refs[6 * NS + 5]
+        out_refs = refs[6 * NS + 6:12 * NS + 6]
+        out_loss = refs[12 * NS + 6]
+        out_loss_sum = refs[12 * NS + 7]
+        eps_scr = refs[12 * NS + 8]
+        dma_sem = refs[12 * NS + 9]
+
+        x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
+        y_nm = y_ref[...]     # [M, 1]
+        msk = mask_ref[...]   # [M, 1]
+        w_t = w_ref[...]      # [T, 1]  pre / n_eff (0 for empty tasks)
+        step0 = step0_ref[0, 0]
+
+        stackH = _stack_mat(S, H)             # [S*H, H]
+        bsumH = _block_sum_mat(S, H)          # [S*H, S]
+        sumL = bsumH                          # score section's lane reducer
+        ones_m = jnp.ones((1, M), jnp.float32)
+        ones1s = jnp.ones((1, S), jnp.float32)
+        bdm = {i: _bd_mask(S, hidden[i - 1], hidden[i])
+               for i in range(1, n_hidden)}
+
+        wide = {nm for nm, _, _, nl in layout if nl == S * H}
+
+        def bc_cat(v):
+            """[R, H] K=1 tensor -> [R, S*H] (every lane block = v)."""
+            return _mm_nt(v, stackH)
+
+        def bc_scalar(v):
+            """[1, 1] -> [1, S]."""
+            return v * ones1s
+
+        def red_cat(g):
+            """adjoint of bc_cat: [R, S*H] -> [R, H] (sum over blocks)."""
+            return _mm(g, stackH)
+
+        def red_scalar(g):
+            """[1, S] -> [1, 1]."""
+            return _mm_nt(g, ones1s)
+
+        def _adam(gs, th_l, m_l, v_l, i):
+            t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
+            bc1 = 1.0 - jnp.exp(t_f * math.log(b1))
+            bc2 = 1.0 - jnp.exp(t_f * math.log(b2))
+            new_t, new_m, new_v = [], [], []
+            for g, th, m_, v_ in zip(gs, th_l, m_l, v_l):
+                m_n = b1 * m_ + (1.0 - b1) * g
+                v_n = b2 * v_ + (1.0 - b2) * g * g
+                upd = (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps_adam)
+                new_t.append(th - lr * upd)
+                new_m.append(m_n)
+                new_v.append(v_n)
+            return new_t, new_m, new_v
+
+        def body(i, carry):
+            loc_l, lsc_l, ml_l, mls_l, vl_l, vls_l, _, loss_sum = carry
+            loc = dict(zip(names, loc_l))
+            lsc = dict(zip(names, lsc_l))
+
+            # stream this iteration's noise page (HBM -> VMEM)
+            dma = pltpu.make_async_copy(eps_hbm.at[i], eps_scr, dma_sem)
+            dma.start()
+            dma.wait()
+            page = eps_scr[...]
+
+            def eps_of(nm):
+                off, nr, nl = eps_slices[nm]
+                return page[off:off + nr, :nl]
+
+            # ---- sample: theta_s = loc + exp(log_scale) * eps_s --------
+            st = {}
+            scale = {nm: jnp.exp(lsc[nm]) for nm in names}
+            eps_lane = {}
+            for nm in names:
+                if "wbd" in nm:
+                    i3 = int(nm[-1])
+                    h_in, h_out = hidden[i3 - 1], hidden[i3]
+                    st_out = _stack_mat(S, h_out)
+                    lane = (_mm_nt(loc[nm], st_out)
+                            + _mm_nt(scale[nm], st_out) * eps_of(nm))
+                    eps_lane[nm] = eps_of(nm)
+                    st[nm] = _mm(_stack_mat(S, h_in), lane) * bdm[i3]
+                elif nm in wide:
+                    st[nm] = bc_cat(loc[nm]) + bc_cat(scale[nm]) * eps_of(nm)
+                else:
+                    st[nm] = (bc_scalar(loc[nm])
+                              + bc_scalar(scale[nm]) * eps_of(nm))
+
+            # ---- per-sample particle score (shared section, K = S) -----
+            score, wql = score_section(st, x, y_nm, msk, w_t, sumL, ones_m)
+
+            # ---- loss: neg-ELBO of this iteration ----------------------
+            # prior log prob per sample: -(1/2) sum_p z^2 + static const
+            qsum = jnp.zeros((1, S), jnp.float32)
+            for nm in names:
+                p_loc, p_scale = prior_ls[nm]
+                z = (st[nm] - p_loc) / p_scale
+                sq = z * z
+                if "wbd" in nm:
+                    i3 = int(nm[-1])
+                    qsum = qsum + _mm(jnp.sum(sq, axis=0, keepdims=True),
+                                      _block_sum_mat(S, hidden[i3]))
+                elif nm in wide:
+                    qsum = qsum + _mm(jnp.sum(sq, axis=0, keepdims=True),
+                                      bsumH)
+                else:
+                    qsum = qsum + sq
+            lp_s = -0.5 * qsum + lp_const                       # [1, S]
+            wmll = -0.5 * (wql + mll_const)                     # [1, S]
+            obj = prior_factor * lp_s + wmll
+            sum_lsc = None
+            for nm in names:
+                t_ = jnp.sum(lsc[nm])
+                sum_lsc = t_ if sum_lsc is None else sum_lsc + t_
+            mean_obj = red_scalar(obj) / S                      # [1, 1]
+            loss = -(mean_obj
+                     + prior_factor * (ent_const + sum_lsc))    # [1, 1]
+
+            # ---- reparameterization gradients --------------------------
+            g_loc, g_lsc = [], []
+            for nm in names:
+                sc = score[nm]
+                if "wbd" in nm:
+                    i3 = int(nm[-1])
+                    st_in = _stack_mat(S, hidden[i3 - 1])
+                    st_out = _stack_mat(S, hidden[i3])
+                    red = _mm_tn(st_in, _mm(sc, st_out))
+                    se_lane = _mm_tn(st_in, sc) * eps_lane[nm]
+                    red_e = _mm(se_lane, st_out)
+                elif nm in wide:
+                    red = red_cat(sc)
+                    red_e = red_cat(sc * eps_of(nm))
+                else:
+                    red = red_scalar(sc)
+                    red_e = red_scalar(sc * eps_of(nm))
+                g_loc.append(-red / S)
+                g_lsc.append(-scale[nm] * red_e / S - prior_factor)
+
+            loc_n, ml_n, vl_n = _adam(g_loc, loc_l, ml_l, vl_l, i)
+            lsc_n, mls_n, vls_n = _adam(g_lsc, lsc_l, mls_l, vls_l, i)
+            return (tuple(loc_n), tuple(lsc_n), tuple(ml_n), tuple(mls_n),
+                    tuple(vl_n), tuple(vls_n), loss, loss_sum + loss)
+
+        loc0 = tuple(r[...] for r in loc_refs)
+        lsc0 = tuple(r[...] for r in lsc_refs)
+        m_loc0 = tuple(r[...] for r in mom_refs[:NS])
+        m_lsc0 = tuple(r[...] for r in mom_refs[NS:2 * NS])
+        v_loc0 = tuple(r[...] for r in mom_refs[2 * NS:3 * NS])
+        v_lsc0 = tuple(r[...] for r in mom_refs[3 * NS:4 * NS])
+        zero = jnp.zeros((1, 1), jnp.float32)
+        out = jax.lax.fori_loop(
+            0, n_steps, body,
+            (loc0, lsc0, m_loc0, m_lsc0, v_loc0, v_lsc0, zero, zero))
+        flat = (list(out[0]) + list(out[1]) + list(out[2]) + list(out[3])
+                + list(out[4]) + list(out[5]))
+        for r, val in zip(out_refs, flat):
+            r[...] = val
+        out_loss[...] = out[6]
+        out_loss_sum[...] = out[7]
+
+    return kernel, r_pad, lanes
+
+
+# ------------------------------------------------------------ host wrapper
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "T", "N", "D", "hidden", "lr", "prior_factor",
+                     "wps", "bps", "mll_const", "lp_const", "ent_const",
+                     "n_steps", "interpret"))
+def fused_vi_train_packed(loc_p, lsc_p, m_loc, m_lsc, v_loc, v_lsc, x, y_nm,
+                          mask_nm, w_t, eps_pages, step0, *, S, T, N, D,
+                          hidden, lr, prior_factor, wps, bps, mll_const,
+                          lp_const, ent_const, n_steps, interpret=False):
+    """Run n_steps VI iterations in one kernel launch on packed state."""
+    names = state_names(len(hidden))
+    kernel, r_pad, lanes = _make_vi_kernel(
+        S=S, T=T, N=N, D=D, hidden=tuple(hidden), lr=lr,
+        prior_factor=prior_factor, wps=wps, bps=bps, mll_const=mll_const,
+        lp_const=lp_const, ent_const=ent_const, n_steps=n_steps)
+    state_in = ([loc_p[nm] for nm in names] + [lsc_p[nm] for nm in names]
+                + [m_loc[nm] for nm in names] + [m_lsc[nm] for nm in names]
+                + [v_loc[nm] for nm in names] + [v_lsc[nm] for nm in names])
+    others = [x, y_nm, mask_nm, w_t, eps_pages,
+              jnp.asarray(step0, jnp.float32).reshape(1, 1)]
+    all_in = state_in + others
+    NS = len(names)
+    out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
+                   for t in state_in]
+                  + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 * NS + 4)
+        + [pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 * NS + 2),
+        input_output_aliases={i: i for i in range(6 * NS)},
+        scratch_shapes=[pltpu.VMEM((r_pad, lanes), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(*all_in)
+    res = []
+    for j in range(6):
+        res.append(dict(zip(names, outs[j * NS:(j + 1) * NS])))
+    return tuple(res) + (outs[6 * NS][0, 0], outs[6 * NS + 1][0, 0] / n_steps)
+
+
+class FusedVITrainer:
+    """Host-side driver: pack posterior once, run chunks, unpack on demand.
+
+    The reparameterization noise for each chunk is generated host-side with
+    the XLA learner's exact key discipline (fold_in(base_key, step) ->
+    split -> k_sample -> normal([S, P])) and packed into per-iteration
+    pages streamed by the kernel, so fused and XLA runs follow the same
+    random trajectory.
+    """
+
+    def __init__(self, hyper_prior, post, X, Y, mask, *, hidden, lr,
+                 prior_factor, weight_prior_std, bias_prior_std,
+                 svi_batch_size, base_key, interpret=False):
+        import numpy as np
+
+        from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
+            pack_state,
+        )
+
+        self.hp = hyper_prior
+        self.S = int(svi_batch_size)
+        self.T, self.N, self.D = (int(X.shape[0]), int(X.shape[1]),
+                                  int(X.shape[2]))
+        self.hidden = tuple(int(h) for h in hidden)
+        self.lr, self.prior_factor = float(lr), float(prior_factor)
+        self.wps, self.bps = float(weight_prior_std), float(bias_prior_std)
+        self.base_key = base_key
+        self.interpret = interpret
+        self.last_loss = float("nan")
+        self.avg_loss = float("nan")
+
+        sizes = np.asarray(jnp.sum(mask, axis=-1))
+        harmonic = 1.0 / np.mean(1.0 / sizes)
+        pre = float(harmonic / (harmonic + self.T))
+        w = np.where(sizes > 0, pre / np.maximum(sizes, 1.0), 0.0)
+        self.w_t = jnp.asarray(w.reshape(self.T, 1), jnp.float32)
+        # sum_t w_t * n_eff_t * log(2 pi): the static part of the MLL sum
+        self.mll_const = float(np.sum((sizes > 0) * pre) * _LOG_2PI)
+
+        # static prior-log-prob and entropy constants
+        p_dim = int(hyper_prior.dim)
+        n_w = sum(int(np.prod(s)) for s in self._weight_shapes())
+        n_b = sum(int(np.prod(s)) for s in self._bias_shapes())
+        # remaining params (ls F=1, nz, prior scale 1.0) add -log(1) = 0
+        self.lp_const = float(-(n_w * math.log(self.wps)
+                                + n_b * math.log(self.bps))
+                              - 0.5 * p_dim * _LOG_2PI)
+        self.ent_const = float(0.5 * p_dim * (1.0 + _LOG_2PI))
+        self.p_dim = p_dim
+
+        self.loc_p = pack_state(hyper_prior, post["loc"][None, :],
+                                self.hidden)
+        self.lsc_p = pack_state(hyper_prior, post["log_scale"][None, :],
+                                self.hidden)
+        self.m_loc = jax.tree.map(jnp.zeros_like, self.loc_p)
+        self.m_lsc = jax.tree.map(jnp.zeros_like, self.lsc_p)
+        self.v_loc = jax.tree.map(jnp.zeros_like, self.loc_p)
+        self.v_lsc = jax.tree.map(jnp.zeros_like, self.lsc_p)
+
+        hp, hidden_t = hyper_prior, self.hidden
+
+        def unpack6(a, b, c, d, e, f):
+            from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
+                unpack_state,
+            )
+
+            return tuple(unpack_state(hp, t, hidden_t, 1)[0]
+                         for t in (a, b, c, d, e, f))
+
+        self._unpack6 = jax.jit(unpack6)
+
+        s_n, p_n = self.S, p_dim
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def make_eps(base_key, start_step, n_steps):
+            steps = start_step + jnp.arange(n_steps)
+
+            def one(i):
+                key = jax.random.fold_in(base_key, i)
+                _, k_sample = jax.random.split(key)
+                eps = jax.random.normal(k_sample, (s_n, p_n), jnp.float32)
+                return pack_eps_page(hp, eps, hidden_t)
+
+            return jax.vmap(one)(steps)
+
+        self._make_eps = make_eps
+
+        self.x = jnp.transpose(X, (1, 0, 2)).reshape(
+            self.N * self.T, self.D).astype(jnp.float32)
+        self.y_nm = jnp.transpose(Y, (1, 0)).reshape(
+            self.N * self.T, 1).astype(jnp.float32)
+        self.mask_nm = jnp.transpose(mask, (1, 0)).reshape(
+            self.N * self.T, 1).astype(jnp.float32)
+
+    def _weight_shapes(self):
+        h = self.hidden
+        shapes = [(self.D, h[0])]
+        shapes += [(h[i - 1], h[i]) for i in range(1, len(h))]
+        shapes += [(h[-1], 1)]
+        return shapes * 2  # mean + kernel nets
+
+    def _bias_shapes(self):
+        h = self.hidden
+        return ([(hh,) for hh in h] + [(1,)]) * 2
+
+    # max iterations per kernel launch: bounds the streamed noise buffer
+    # (512 pages ~ 60 MB HBM at the flagship config) and keeps the
+    # host-side eps generation overlapped with the previous launch
+    MAX_LAUNCH = 512
+
+    def run(self, n_steps, step0):
+        n_steps, step0 = int(n_steps), int(step0)
+        done = 0
+        while done < n_steps:
+            sub = min(self.MAX_LAUNCH, n_steps - done)
+            self._run_one(sub, step0 + done)
+            done += sub
+
+    def _run_one(self, n_steps, step0):
+        eps_pages = self._make_eps(self.base_key, int(step0), int(n_steps))
+        (self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
+         self.v_lsc, self.last_loss, self.avg_loss) = fused_vi_train_packed(
+            self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
+            self.v_lsc, self.x, self.y_nm, self.mask_nm, self.w_t,
+            eps_pages, float(step0), S=self.S, T=self.T, N=self.N, D=self.D,
+            hidden=self.hidden, lr=self.lr, prior_factor=self.prior_factor,
+            wps=self.wps, bps=self.bps, mll_const=self.mll_const,
+            lp_const=self.lp_const, ent_const=self.ent_const,
+            n_steps=int(n_steps), interpret=self.interpret)
+
+    def sync(self):
+        """(post, m, v): post = {'loc','log_scale'}, m/v same structure."""
+        loc, lsc, ml, mls, vl, vls = self._unpack6(
+            self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
+            self.v_lsc)
+        post = {"loc": loc, "log_scale": lsc}
+        m = {"loc": ml, "log_scale": mls}
+        v = {"loc": vl, "log_scale": vls}
+        return post, m, v

@@ -74,6 +74,10 @@ _SLOW = {
     # test_fused_map.py — fused-vs-XLA learner runs (kernel-level gradient/
     # loss/trajectory parity stays in the fast tier)
     "test_learner_fused_matches_xla_and_resumes",
+    # test_fused_vi.py — fused-vs-XLA learner runs (spec/kernel/gate parity
+    # stays in the fast tier)
+    "test_vi_fused_learner_matches_xla_trajectory",
+    "test_vi_fused_resume_and_chunking_deterministic",
     # test_seed_parallel.py — vmapped multi-seed fits (big stacked compiles;
     # svgd/vi/maml/per-seed-data variants keep the fast-tier coverage)
     "test_seed_mesh_sharded_matches_unsharded",
