@@ -74,6 +74,8 @@ _SLOW = {
     # test_fused_map.py — fused-vs-XLA learner runs (kernel-level gradient/
     # loss/trajectory parity stays in the fast tier)
     "test_learner_fused_matches_xla_and_resumes",
+    # test_multihost.py — spawns 2 real jax.distributed processes
+    "test_two_process_global_mesh_matches_single_process",
     # test_fused_vi.py — fused-vs-XLA learner runs (spec/kernel/gate parity
     # stays in the fast tier)
     "test_vi_fused_learner_matches_xla_trajectory",
