@@ -161,6 +161,16 @@ def main():
             "calib_err": round(calib, 4),
             "batched_chol_lml_grad_us_B200_N20": round(mll_grad_us_n20, 1),
             "batched_chol_lml_grad_us_B200_N200": round(mll_grad_us_n200, 1),
+            # utilization of the blocked value+grad MLL at B=200/N=200:
+            # ~(1/3 fwd chol + 3 bwd: tri-inv + W^T W + solves) * B * N^3
+            # useful f32 FLOPs; peak_ref = v5e bf16 MXU peak (197 TFLOP/s;
+            # pure-f32 MXU paths top out at ~1/4 of it)
+            "blocked_mll_grad_tflops_B200_N200": round(
+                (10.0 / 3.0) * 200 * 200**3 / (mll_grad_us_n200 * 1e-6)
+                / 1e12, 3),
+            "blocked_mll_grad_pct_of_v5e_bf16_peak": round(
+                (10.0 / 3.0) * 200 * 200**3 / (mll_grad_us_n200 * 1e-6)
+                / 197e12 * 100.0, 2),
             "per_iter_ms": per_iter_ms,
             "mlap_meta_test_s_per_task_3000steps": round(
                 mlap_meta_test_s_per_task, 3),
