@@ -201,17 +201,41 @@ class Analysis:
         return [t["config"] for t in done[:n]]
 
 
+def _newest_experiment_state(local_dir, preferred):
+    """Newest experiment_state-*.json in local_dir, preferring `preferred`
+    when it exists (reference newest-checkpoint discovery:
+    custom_tune/trial_runner.py:40-46)."""
+    if os.path.exists(preferred):
+        return preferred
+    import glob
+
+    cands = glob.glob(os.path.join(local_dir, "experiment_state-*.json"))
+    return max(cands, key=os.path.getmtime) if cands else None
+
+
 def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
              search_alg="tpe", seed=0, local_dir="./tune_out", name="tune",
-             max_failures=3, resume=False, verbose=True):
+             max_failures=3, resume=False, remote_dir=None, verbose=True):
     """Run `num_samples` trials of trial_fn(config) suggested over `space`.
 
     trial_fn returns a metrics dict, or yields metric dicts for periodic
     reporting (the last yield is the trial's final result). Failures are
     recorded (status ERROR) and retried up to `max_failures` times with a
     fresh suggestion. State is checkpointed to
-    `<local_dir>/experiment_state-<name>.json` after every trial; resume=True
-    continues from it.
+    `<local_dir>/experiment_state-<name>.json` after every trial.
+
+    resume mirrors the reference's trial_runner modes
+    (custom_tune/trial_runner.py:103,288):
+      False          — fresh run (default)
+      True / "LOCAL" — continue from the newest local experiment-state file
+      "REMOTE"       — sync the newest experiment-state file from
+                       `remote_dir` (a shared/mounted path — the harness's
+                       stand-in for the reference's upload_dir bucket) into
+                       local_dir first, then continue from it
+      "PROMPT"       — ask interactively iff a local state file exists
+    Trials left RUNNING by an interrupted process are marked ERROR
+    ("interrupted") on resume, matching the reference's requeue-on-recover
+    accounting (trial_runner.py:520-554) without re-running them.
     """
     os.makedirs(local_dir, exist_ok=True)
     state_path = os.path.join(local_dir, f"experiment_state-{name}.json")
@@ -219,15 +243,42 @@ def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
     suggester_cls = {"tpe": TPESuggest, "random": RandomSuggest}[search_alg]
     suggester = suggester_cls(space, metric=metric, mode=mode, seed=seed)
 
+    mode_str = resume.upper() if isinstance(resume, str) else None
+    if mode_str not in (None, "LOCAL", "REMOTE", "PROMPT"):
+        raise ValueError(f"resume must be bool or LOCAL/REMOTE/PROMPT, "
+                         f"got {resume!r}")
+    if mode_str == "REMOTE":
+        if remote_dir is None:
+            raise ValueError("resume='REMOTE' requires remote_dir")
+        src = _newest_experiment_state(
+            remote_dir, os.path.join(remote_dir,
+                                     f"experiment_state-{name}.json"))
+        if src is None:
+            raise FileNotFoundError(
+                f"resume='REMOTE': no experiment_state-*.json in {remote_dir}")
+        import shutil
+
+        shutil.copy2(src, state_path)
+        if verbose:
+            print(f"synced remote experiment state {src} -> {state_path}")
+    load_path = _newest_experiment_state(local_dir, state_path)
+    do_resume = bool(resume) and load_path is not None
+    if mode_str == "PROMPT" and do_resume:
+        ans = input(f"Resume from {load_path}? [y/N] ")
+        do_resume = ans.strip().lower() in ("y", "yes")
+
     trials = []
-    if resume and os.path.exists(state_path):
-        with open(state_path) as f:
+    if do_resume:
+        with open(load_path) as f:
             trials = json.load(f)["trials"]
         for t in trials:
+            if t["status"] == "RUNNING":  # interrupted by a dead process
+                t["status"] = "ERROR"
+                t["error"] = "interrupted"
             if t["status"] == "DONE" and t.get("last_result"):
                 suggester.tell(t["config"], t["last_result"].get(metric))
         if verbose:
-            print(f"resumed {len(trials)} trials from {state_path}")
+            print(f"resumed {len(trials)} trials from {load_path}")
 
     def checkpoint():
         with open(state_path, "w") as f:

@@ -120,6 +120,66 @@ class TestTuneRun:
         done = [t for t in analysis.trials if t["status"] == "DONE"]
         assert len(done) == 8
 
+    def test_resume_modes_local_remote_prompt(self, tmp_path, monkeypatch):
+        """resume in {LOCAL, REMOTE, PROMPT} (reference
+        custom_tune/trial_runner.py:103,288): LOCAL continues the newest
+        local state file, REMOTE syncs it from a shared dir first, PROMPT
+        asks; interrupted RUNNING trials are marked ERROR on resume."""
+        space = {"x": Uniform(0.0, 1.0)}
+        local = tmp_path / "local"
+        remote = tmp_path / "remote"
+        remote.mkdir()
+        tune_run(lambda cfg: {"score": cfg["x"]}, space, num_samples=4,
+                 metric="score", local_dir=str(local), name="t5",
+                 verbose=False)
+        state_file = os.path.join(local, "experiment_state-t5.json")
+        # simulate a crash mid-trial: leave a RUNNING entry behind
+        state = json.load(open(state_file))
+        state["trials"].append({"config": {"x": 0.5}, "status": "RUNNING",
+                                "last_result": None, "history": []})
+        json.dump(state, open(state_file, "w"))
+
+        analysis = tune_run(lambda cfg: {"score": cfg["x"]}, space,
+                            num_samples=6, metric="score",
+                            local_dir=str(local), name="t5",
+                            resume="LOCAL", verbose=False)
+        statuses = [t["status"] for t in analysis.trials]
+        assert statuses.count("DONE") == 6 and "RUNNING" not in statuses
+        interrupted = [t for t in analysis.trials
+                       if t.get("error") == "interrupted"]
+        assert len(interrupted) == 1
+
+        # REMOTE: fresh local dir, state pulled from the shared path
+        import shutil
+        shutil.copy2(state_file, remote / "experiment_state-t5.json")
+        local2 = tmp_path / "local2"
+        analysis2 = tune_run(lambda cfg: {"score": cfg["x"]}, space,
+                             num_samples=7, metric="score",
+                             local_dir=str(local2), name="t5",
+                             resume="REMOTE", remote_dir=str(remote),
+                             verbose=False)
+        assert len([t for t in analysis2.trials
+                    if t["status"] == "DONE"]) == 7
+        with pytest.raises(ValueError):
+            tune_run(lambda cfg: {"score": 0.0}, space, num_samples=1,
+                     metric="score", local_dir=str(local2), name="t5",
+                     resume="REMOTE", verbose=False)  # no remote_dir
+
+        # PROMPT: declined -> starts fresh (0 resumed trials -> needs 1 new)
+        monkeypatch.setattr("builtins.input", lambda _: "n")
+        analysis3 = tune_run(lambda cfg: {"score": cfg["x"]}, space,
+                             num_samples=1, metric="score",
+                             local_dir=str(local), name="t5",
+                             resume="PROMPT", verbose=False)
+        assert len(analysis3.trials) == 1
+        monkeypatch.setattr("builtins.input", lambda _: "y")
+        analysis4 = tune_run(lambda cfg: {"score": cfg["x"]}, space,
+                             num_samples=6, metric="score",
+                             local_dir=str(local), name="t5",
+                             resume="PROMPT", verbose=False)
+        assert len([t for t in analysis4.trials
+                    if t["status"] == "DONE"]) == 6  # all resumed, 0 new
+
     def test_failure_handling(self, tmp_path):
         calls = {"n": 0}
 
