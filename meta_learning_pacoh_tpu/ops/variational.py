@@ -9,6 +9,7 @@ points. (The reference mixes whitened and unwhitened conventions across its
 meta-train and meta-test paths; here both use the same math.)
 """
 
+import functools
 import math
 
 import jax
@@ -20,9 +21,11 @@ from meta_learning_pacoh_tpu.ops.chol import cholesky, safe_cholesky
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-def gaussian_kl_chol(m0, L0, m1, K1, jitter=1e-6):
-    """KL( N(m0, L0 L0^T) || N(m1, K1) ). m0, m1: [N]; L0: [N, N] lower;
-    K1: [N, N] PSD. Returns scalar."""
+def _kl_factorize(m0, L0, m1, K1, jitter):
+    """Shared forward core: jitter-select + factorize + whitened residuals.
+
+    Returns (kl, L1, M, d) with L1 = chol(K1 + j*I), M = L1^{-1} L0,
+    d = L1^{-1} (m1 - m0)."""
     from meta_learning_pacoh_tpu.ops.chol import (
         UNROLL_MAX_N, unrolled_cholesky, unrolled_solve_lower,
         unrolled_solve_lower_mat,
@@ -49,7 +52,62 @@ def gaussian_kl_chol(m0, L0, m1, K1, jitter=1e-6):
     quad = jnp.sum(d * d)
     logdet1 = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L1)))
     logdet0 = 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L0)) + 1e-12))
-    return 0.5 * (trace + quad - n + logdet1 - logdet0)
+    kl = 0.5 * (trace + quad - n + logdet1 - logdet0)
+    return kl, L1, M, d
+
+
+def _solve_upper_from_lower(L1, B):
+    """Solve L1^T X = B for matrix B [N, M] (L1 lower). Static-shape dispatch
+    mirrors _kl_factorize: unrolled back-substitution for small N."""
+    from meta_learning_pacoh_tpu.ops.chol import (
+        UNROLL_MAX_N, unrolled_solve_lower_T,
+    )
+
+    if L1.shape[-1] <= UNROLL_MAX_N:
+        return jnp.swapaxes(
+            unrolled_solve_lower_T(L1, jnp.swapaxes(B, -1, -2)), -1, -2)
+    return solve_triangular(L1, B, lower=True, trans=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gaussian_kl_chol(m0, L0, m1, K1, jitter=1e-6):
+    """KL( N(m0, L0 L0^T) || N(m1, K1) ). m0, m1: [N]; L0: [N, N] lower;
+    K1: [N, N] PSD. Returns scalar.
+
+    Closed-form custom VJP: with P = (K1 + j*I)^{-1} and d = m1 - m0,
+
+        dKL/dm0 = -P d            dKL/dm1 = +P d
+        dKL/dK1 = 0.5 (P - P S0 P - (P d)(P d)^T),   S0 = L0 L0^T
+        dKL/dL0 = P L0 - diag(sign(l_ii) / (|l_ii| + 1e-12))
+
+    so the backward pass is two triangular solves instead of autodiff
+    through the (unrolled) Cholesky + jitter-selection graph — this is the
+    MLAP inner-KL hot path (reference: GPR_meta_mlap.py:318-355, T x S
+    KL terms per step)."""
+    kl, _, _, _ = _kl_factorize(m0, L0, m1, K1, jitter)
+    return kl
+
+
+def _gaussian_kl_chol_fwd(m0, L0, m1, K1, jitter):
+    kl, L1, M, d = _kl_factorize(m0, L0, m1, K1, jitter)
+    return kl, (L1, M, d, jnp.diagonal(L0))
+
+
+def _gaussian_kl_chol_bwd(jitter, res, g):
+    L1, M, d, diag0 = res
+    w = _solve_upper_from_lower(L1, d[:, None])[:, 0]      # P (m1 - m0)
+    W = _solve_upper_from_lower(L1, M)                     # P L0
+    Linv = _solve_upper_from_lower(
+        L1, jnp.eye(L1.shape[-1], dtype=L1.dtype))         # L1^{-T}
+    P = Linv @ Linv.T                                      # K1j^{-1}
+    gm1 = g * w
+    gm0 = -gm1
+    gK1 = (0.5 * g) * (P - W @ W.T - jnp.outer(w, w))
+    gL0 = g * (W - jnp.diag(jnp.sign(diag0) / (jnp.abs(diag0) + 1e-12)))
+    return gm0, gL0, gm1, gK1
+
+
+gaussian_kl_chol.defvjp(_gaussian_kl_chol_fwd, _gaussian_kl_chol_bwd)
 
 
 def expected_log_prob_gaussian(y, f_mean, f_var, noise_var):

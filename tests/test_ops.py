@@ -235,3 +235,82 @@ class TestSVGD:
             particles, state = step(particles, state)
         assert abs(float(jnp.mean(particles)) - 3.0) < 0.2
         assert abs(float(jnp.std(particles)) - 0.5) < 0.3
+
+
+class TestGaussianKLCustomVJP:
+    """The closed-form VJP of gaussian_kl_chol must match autodiff through
+    the plain factorization core on both dispatch paths (unrolled N<=8,
+    solve_triangular N>8). Reference semantics: GPR_meta_mlap.py:318-355."""
+
+    @pytest.mark.parametrize("n", [5, 20])
+    def test_value_and_grads_match_autodiff(self, n):
+        from meta_learning_pacoh_tpu.ops.variational import (
+            gaussian_kl_chol, _kl_factorize,
+        )
+
+        rs = np.random.RandomState(42 + n)
+        m0 = jnp.asarray(rs.randn(n).astype(np.float32))
+        m1 = jnp.asarray(rs.randn(n).astype(np.float32))
+        L0 = jnp.asarray(np.tril(rs.randn(n, n)).astype(np.float32))
+        L0 = L0.at[jnp.arange(n), jnp.arange(n)].set(
+            jnp.abs(jnp.diagonal(L0)) + 0.5)
+        K1 = jnp.asarray(_rand_psd(n, seed=7 + n))
+
+        def plain(m0, L0, m1, K1):
+            return _kl_factorize(m0, L0, m1, K1, 1e-6)[0]
+
+        v_custom = gaussian_kl_chol(m0, L0, m1, K1)
+        v_plain = plain(m0, L0, m1, K1)
+        np.testing.assert_allclose(
+            float(v_custom), float(v_plain), rtol=1e-6)
+
+        g_custom = jax.grad(gaussian_kl_chol, argnums=(0, 1, 2, 3))(
+            m0, L0, m1, K1)
+        g_plain = jax.grad(plain, argnums=(0, 1, 2, 3))(m0, L0, m1, K1)
+        # K1's entrywise gradient is representation-dependent: the unrolled
+        # forward reads only K1's lower triangle so AD concentrates the
+        # gradient there, while the custom VJP returns the symmetric form.
+        # Both give identical chain-rule results for the symmetric gram
+        # matrices every caller constructs — compare after symmetrizing.
+        sym = lambda A: 0.5 * (np.asarray(A) + np.asarray(A).T)
+        for gc, gp, name in zip(g_custom[:3], g_plain[:3], ["m0", "L0", "m1"]):
+            np.testing.assert_allclose(
+                np.asarray(gc), np.asarray(gp), rtol=2e-4, atol=2e-5,
+                err_msg=f"grad mismatch on {name} (n={n})")
+        np.testing.assert_allclose(
+            sym(g_custom[3]), sym(g_plain[3]), rtol=2e-4, atol=2e-5,
+            err_msg=f"grad mismatch on K1 (n={n})")
+
+    def test_grad_under_vmap(self):
+        """MLAP vmaps the KL over theta samples and tasks — the custom VJP
+        must batch correctly."""
+        from meta_learning_pacoh_tpu.ops.variational import (
+            gaussian_kl_chol, _kl_factorize,
+        )
+
+        n, b = 5, 7
+        rs = np.random.RandomState(3)
+        m0 = jnp.asarray(rs.randn(b, n).astype(np.float32))
+        m1 = jnp.asarray(rs.randn(b, n).astype(np.float32))
+        L0 = jnp.asarray(
+            np.tril(rs.randn(b, n, n)).astype(np.float32))
+        idx = jnp.arange(n)
+        L0 = L0.at[:, idx, idx].set(jnp.abs(L0[:, idx, idx]) + 0.5)
+        K1 = jnp.stack(
+            [jnp.asarray(_rand_psd(n, seed=s)) for s in range(b)])
+
+        def tot_custom(m0, L0, m1, K1):
+            return jnp.sum(jax.vmap(gaussian_kl_chol)(m0, L0, m1, K1))
+
+        def tot_plain(m0, L0, m1, K1):
+            return jnp.sum(jax.vmap(
+                lambda a, b_, c, d: _kl_factorize(a, b_, c, d, 1e-6)[0]
+            )(m0, L0, m1, K1))
+
+        gc = jax.grad(tot_custom, argnums=(0, 1, 2, 3))(m0, L0, m1, K1)
+        gp = jax.grad(tot_plain, argnums=(0, 1, 2, 3))(m0, L0, m1, K1)
+        sym = lambda A: 0.5 * (np.asarray(A) + np.swapaxes(np.asarray(A), -1, -2))
+        for a, b_ in zip(gc[:3], gp[:3]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(sym(gc[3]), sym(gp[3]), rtol=2e-4, atol=2e-5)
