@@ -92,6 +92,12 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         self.task_kl_weight, self.meta_kl_weight = task_kl_weight, meta_kl_weight
         self.svi_batch_size = svi_batch_size
         self.lr = lr
+        self._optimizer_name = optimizer
+        self._lr_decay = lr_decay
+        self._posterior_lr_multiplier = posterior_lr_multiplier
+        self._cov_type = cov_type
+        self._weight_prior_std = weight_prior_std
+        self._bias_prior_std = bias_prior_std
 
         self._check_and_set_dims(meta_train_data)
         self._compute_normalization_stats(meta_train_data)
@@ -163,6 +169,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             ("mlap.batch_metrics",) + hp_key, self._build_batch_metrics_fn
         )
         self._step_count = 0
+        self._fused = None  # lazily-built Pallas mega-kernel trainer
 
     # --------------------------------------------------------------- helpers
     def _noise_var(self, raw_noise):
@@ -319,6 +326,106 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
 
         return run_chunk
 
+    # ------------------------------------------------ fused-kernel fast path
+    def _fused_path_ok(self):
+        """Whether the single-launch Pallas MLAP training kernel applies.
+
+        The mega-kernel (ops/pallas/fused_mlap_kernel.py) covers the
+        NN/NN flagship window: one shared hidden width, feature_dim 1,
+        diag hyper-posterior, constant-lr Adam, N within the
+        unrolled-linalg window. Everything else uses the general
+        scan-fused XLA step.
+        """
+        from meta_learning_pacoh_tpu import config
+
+        cfg = self.cfg
+        hidden = tuple(cfg.mean_nn_layers)
+        st = self.opt_state
+        adam_ok = (
+            hasattr(st, "inner_states")
+            and all(
+                g in st.inner_states
+                and hasattr(st.inner_states[g].inner_state[0], "mu")
+                for g in ("main", "posterior")
+            )
+        )
+        return (
+            config.pallas_enabled()
+            and self._mesh is None
+            and self._cov_type == "diag"
+            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            and cfg.mean_module == "NN" and cfg.covar_module == "NN"
+            and cfg.feature_dim == 1
+            and hidden == tuple(cfg.kernel_nn_layers)
+            and len(set(hidden)) == 1 and len(hidden) >= 1
+            and self.svi_batch_size * hidden[0] <= 1024  # lane budget
+            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
+            and adam_ok
+        )
+
+    def _extract_moments(self):
+        """Adam (mu, nu) as full params-shaped pytrees from the two
+        multi_transform groups."""
+        main = self.opt_state.inner_states["main"].inner_state[0]
+        post = self.opt_state.inner_states["posterior"].inner_state[0]
+        mu = {"hyper_post": main.mu["hyper_post"],
+              "raw_noise": main.mu["raw_noise"],
+              "q_means": post.mu["q_means"], "q_trils": post.mu["q_trils"]}
+        nu = {"hyper_post": main.nu["hyper_post"],
+              "raw_noise": main.nu["raw_noise"],
+              "q_means": post.nu["q_means"], "q_trils": post.nu["q_trils"]}
+        return mu, nu
+
+    def _fused_run_chunk(self, chunk):
+        from meta_learning_pacoh_tpu import config
+        from meta_learning_pacoh_tpu.ops.pallas.fused_mlap_kernel import (
+            FusedMLAPTrainer,
+        )
+
+        if self._fused is None:
+            self._fused = FusedMLAPTrainer(
+                self.hyper_prior, self.params, self.X, self.Y, self.mask,
+                hidden=tuple(self.cfg.mean_nn_layers), lr=self.lr,
+                posterior_lr_multiplier=self._posterior_lr_multiplier,
+                task_batch_size=self.task_batch_size,
+                svi_batch_size=self.svi_batch_size,
+                task_kl_weight=self.task_kl_weight,
+                meta_kl_weight=self.meta_kl_weight, delta=self.delta,
+                weight_prior_std=self._weight_prior_std,
+                bias_prior_std=self._bias_prior_std,
+                base_key=self._train_key,
+                interpret=config.pallas_interpret(),
+            )
+            if self._step_count > 0:  # resume: carry the live Adam moments
+                mu, nu = self._extract_moments()
+                self._fused.load_moments(mu, nu)
+        self._fused.run(chunk, self._step_count)
+
+    def _fused_sync(self, total_steps):
+        """Unpack the kernel-resident state into the canonical learner state
+        (predict/eval/state_dict read self.params / self.opt_state)."""
+        self._fused_dirty = False
+        self.params, mu, nu = self._fused.sync()
+
+        def set_group(masked_state, keys):
+            adam = masked_state.inner_state[0]
+            new_mu = {k: (mu[k] if k in keys else adam.mu[k])
+                      for k in adam.mu}
+            new_nu = {k: (nu[k] if k in keys else adam.nu[k])
+                      for k in adam.nu}
+            new_adam = adam._replace(
+                count=jnp.asarray(total_steps, jnp.int32),
+                mu=new_mu, nu=new_nu)
+            return masked_state._replace(
+                inner_state=(new_adam,)
+                + tuple(masked_state.inner_state[1:]))
+
+        inner = dict(self.opt_state.inner_states)
+        inner["main"] = set_group(inner["main"], {"hyper_post", "raw_noise"})
+        inner["posterior"] = set_group(inner["posterior"],
+                                       {"q_means", "q_trils"})
+        self.opt_state = self.opt_state._replace(inner_states=inner)
+
     def meta_fit(self, valid_tuples=None, verbose=True, log_period=500,
                  eval_period=5000, n_iter=None):
         """Trains the hyper-posterior + per-task posteriors on the PAC bound."""
@@ -326,34 +433,51 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         if n_iter is None:
             n_iter = self.num_iter_fit
 
+        use_fused = self._fused_path_ok()
         t = time.time()
         loss, diag = float("nan"), {}
         remaining, itr = n_iter, 0
-        while remaining > 0:
-            chunk = int(min(log_period, remaining))
-            self.params, self.opt_state, losses, diags = self._step_fn(
-                self.params, self.opt_state, self.X, self.Y, self.mask,
-                self._train_key, self._step_count, chunk
-            )
-            remaining -= chunk
-            itr += chunk
-            self._step_count += chunk
-            loss = float(losses[-1])
-            diag = {k: float(v[-1]) for k, v in diags.items()}
+        try:
+            while remaining > 0:
+                chunk = int(min(log_period, remaining))
+                if use_fused:
+                    self._fused_run_chunk(chunk)
+                    self._step_count += chunk
+                    self._fused_dirty = True
+                    if valid_tuples is not None or remaining <= chunk:
+                        self._fused_sync(self._step_count)
+                    loss = float(self._fused.last_loss)
+                    diag = {k: float(v)
+                            for k, v in self._fused.last_diag.items()}
+                else:
+                    self.params, self.opt_state, losses, diags = self._step_fn(
+                        self.params, self.opt_state, self.X, self.Y,
+                        self.mask, self._train_key, self._step_count, chunk
+                    )
+                    self._step_count += chunk
+                    loss = float(losses[-1])
+                    diag = {k: float(v[-1]) for k, v in diags.items()}
+                remaining -= chunk
+                itr += chunk
 
-            duration = time.time() - t
-            t = time.time()
-            message = "Iter %d/%d - Loss: %.6f - Time %.2f sec - " % (
-                itr, n_iter, loss, duration,
-            )
-            if valid_tuples is not None and itr % eval_period == 0:
-                valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
-                    valid_ll, valid_rmse, calib,
+                duration = time.time() - t
+                t = time.time()
+                message = "Iter %d/%d - Loss: %.6f - Time %.2f sec - " % (
+                    itr, n_iter, loss, duration,
                 )
-            message += " - ".join("%s: %.4f" % (k, v) for k, v in diag.items())
-            if verbose:
-                self.logger.info(message)
+                if valid_tuples is not None and itr % eval_period == 0:
+                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
+                    message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
+                        valid_ll, valid_rmse, calib,
+                    )
+                message += " - ".join("%s: %.4f" % (k, v) for k, v in diag.items())
+                if verbose:
+                    self.logger.info(message)
+        finally:
+            # an interrupted fused run must not leave self.params stale
+            # relative to _step_count (state_dict/predict read them)
+            if use_fused and getattr(self, "_fused_dirty", False):
+                self._fused_sync(self._step_count)
 
         self.fitted = True
         return loss, diag
@@ -571,3 +695,4 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         self.params = jax.tree.map(jnp.asarray, state_dict["params"])
         self.opt_state = jax.tree.map(jnp.asarray, state_dict["opt_state"])
         self._step_count = state_dict.get("step", 0)
+        self._fused = None  # repack from the restored state on next fit

@@ -284,6 +284,57 @@ def hyper_prior_loc_scale(n_hidden, wps, bps):
     return prior_ls
 
 
+def make_net_fns(*, K, D, hidden):
+    """K-lane packed-layout MLP forward/backward, shared by every fused
+    training kernel (SVGD K=particles, VI/MLAP K=theta samples, MAP K=1).
+
+    net_forward(st, tag, x, sumL) -> (out [M, K], acts)
+    net_backward(st, tag, acts, dout, x, sumL, ones_m) -> grads dict
+    with all tensors in the pack_state layouts.
+    """
+    n_hidden = len(hidden)
+
+    def net_forward(st, tag, x, sumL):
+        acts = []
+        w1 = st[f"{tag}_w1cat"]
+        pre_act = st[f"{tag}_b1cat"]
+        for d in range(D):
+            pre_act = pre_act + x[:, d:d + 1] * w1[d:d + 1, :]
+        a = jnp.tanh(pre_act)  # [M, K*H0]
+        acts.append(a)
+        for i in range(1, n_hidden):
+            z = _mm(a, st[f"{tag}_wbd{i}"]) + st[f"{tag}_bcat{i}"]
+            a = jnp.tanh(z)
+            acts.append(a)
+        out = (_mm(a * st[f"{tag}_woutcat"], sumL)
+               + st[f"{tag}_boutcat"])  # [M, K]
+        return out, acts
+
+    def net_backward(st, tag, acts, dout, x, sumL, ones_m):
+        """dout [M, K] -> dict of gradients for this net's tensors."""
+        g = {}
+        a_last = acts[-1]
+        dout_exp = _mm_nt(dout, sumL)  # [M, K*HL]
+        g[f"{tag}_woutcat"] = _mm(ones_m, a_last * dout_exp)
+        g[f"{tag}_boutcat"] = _mm(ones_m, dout)
+        da = dout_exp * st[f"{tag}_woutcat"]
+        for i in range(n_hidden - 1, 0, -1):
+            a_i, a_prev = acts[i], acts[i - 1]
+            dz = da * (1.0 - a_i * a_i)
+            h_in, h_out = hidden[i - 1], hidden[i]
+            g[f"{tag}_wbd{i}"] = (_mm_tn(a_prev, dz)
+                                  * _bd_mask(K, h_in, h_out))
+            g[f"{tag}_bcat{i}"] = _mm(ones_m, dz)
+            da = _mm_nt(dz, st[f"{tag}_wbd{i}"])
+        a1 = acts[0]
+        dz1 = da * (1.0 - a1 * a1)
+        g[f"{tag}_w1cat"] = _mm_tn(x, dz1)
+        g[f"{tag}_b1cat"] = _mm(ones_m, dz1)
+        return g
+
+    return net_forward, net_backward
+
+
 def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
                        ablate=(), want_wql=False):
     """Build the per-iteration K-lane particle-score computation.
@@ -301,46 +352,14 @@ def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
     """
     n_hidden = len(hidden)
     names = state_names(n_hidden)
+    _net_fwd, _net_bwd = make_net_fns(K=K, D=D, hidden=hidden)
 
     def score_fn(st, x, y_nm, msk, w_t, sumL, ones_m):
         def net_forward(st, tag):
-            a = None
-            acts = []
-            w1 = st[f"{tag}_w1cat"]
-            pre_act = st[f"{tag}_b1cat"]
-            for d in range(D):
-                pre_act = pre_act + x[:, d:d + 1] * w1[d:d + 1, :]
-            a = jnp.tanh(pre_act)  # [M, K*H0]
-            acts.append(a)
-            for i in range(1, n_hidden):
-                z = _mm(a, st[f"{tag}_wbd{i}"]) + st[f"{tag}_bcat{i}"]
-                a = jnp.tanh(z)
-                acts.append(a)
-            out = (_mm(a * st[f"{tag}_woutcat"], sumL)
-                   + st[f"{tag}_boutcat"])  # [M, K]
-            return out, acts
+            return _net_fwd(st, tag, x, sumL)
 
         def net_backward(st, tag, acts, dout):
-            """dout [M, K] -> dict of gradients for this net's tensors."""
-            g = {}
-            a_last = acts[-1]
-            dout_exp = _mm_nt(dout, sumL)  # [M, K*HL]
-            g[f"{tag}_woutcat"] = _mm(ones_m, a_last * dout_exp)
-            g[f"{tag}_boutcat"] = _mm(ones_m, dout)
-            da = dout_exp * st[f"{tag}_woutcat"]
-            for i in range(n_hidden - 1, 0, -1):
-                a_i, a_prev = acts[i], acts[i - 1]
-                dz = da * (1.0 - a_i * a_i)
-                h_in, h_out = hidden[i - 1], hidden[i]
-                g[f"{tag}_wbd{i}"] = (_mm_tn(a_prev, dz)
-                                      * _bd_mask(K, h_in, h_out))
-                g[f"{tag}_bcat{i}"] = _mm(ones_m, dz)
-                da = _mm_nt(dz, st[f"{tag}_wbd{i}"])
-            a1 = acts[0]
-            dz1 = da * (1.0 - a1 * a1)
-            g[f"{tag}_w1cat"] = _mm_tn(x, dz1)
-            g[f"{tag}_b1cat"] = _mm(ones_m, dz1)
-            return g
+            return _net_bwd(st, tag, acts, dout, x, sumL, ones_m)
 
         def compute():
             # ---------------- forward ----------------

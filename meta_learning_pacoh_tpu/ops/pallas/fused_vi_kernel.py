@@ -139,6 +139,81 @@ def pack_eps_page(hyper_prior, eps_flat, hidden):
     return page
 
 
+# -------------------------------------------------- lane sampling machinery
+
+
+def make_lane_sample_ops(*, S, hidden, layout):
+    """Reparameterization sampling on the K=1 packed state, shared by the
+    fused VI and MLAP kernels.
+
+    Returns (build_mats, sample, reduce_pair):
+      - build_mats() -> dict of stacked-identity / block-diag helper
+        matrices; call ONCE at kernel-body top so they stay loop-invariant.
+      - sample(loc, scale, eps_of, mats) -> (st, eps_lane): maps the K=1
+        packed (loc, scale) and the iteration's noise page into the S-lane
+        particle layout (theta_s = loc + scale * eps_s).
+      - reduce_pair(nm, sc, eps_of, eps_lane, mats) -> (red, red_e): the
+        exact adjoints of the broadcasts — sum over the S sample lanes of a
+        lane-layout cotangent sc, and of sc * eps (the log_scale chain).
+    """
+    names = state_names(len(hidden))
+    n_hidden = len(hidden)
+    H = hidden[0]
+    wide = {nm for nm, _, _, nl in layout
+            if nl == S * H and "wbd" not in nm}
+
+    def build_mats():
+        mats = {"stackH": _stack_mat(S, H),
+                "ones1s": jnp.ones((1, S), jnp.float32),
+                "ones_s1": jnp.ones((S, 1), jnp.float32)}
+        for i in range(1, n_hidden):
+            mats[f"bdm{i}"] = _bd_mask(S, hidden[i - 1], hidden[i])
+            mats[f"stack_in{i}"] = _stack_mat(S, hidden[i - 1])
+            mats[f"stack_out{i}"] = _stack_mat(S, hidden[i])
+        return mats
+
+    def sample(loc, scale, eps_of, mats):
+        st, eps_lane = {}, {}
+        for nm in names:
+            if "wbd" in nm:
+                i3 = int(nm[-1])
+                st_out = mats[f"stack_out{i3}"]
+                lane = (_mm_nt(loc[nm], st_out)
+                        + _mm_nt(scale[nm], st_out) * eps_of(nm))
+                eps_lane[nm] = eps_of(nm)
+                st[nm] = (_mm(mats[f"stack_in{i3}"], lane)
+                          * mats[f"bdm{i3}"])
+            elif nm in wide:
+                st[nm] = (_mm_nt(loc[nm], mats["stackH"])
+                          + _mm_nt(scale[nm], mats["stackH"]) * eps_of(nm))
+            else:
+                st[nm] = (loc[nm] * mats["ones1s"]
+                          + scale[nm] * mats["ones1s"] * eps_of(nm))
+        return st, eps_lane
+
+    def reduce_pair(nm, sc, eps_of, eps_lane, mats):
+        if "wbd" in nm:
+            i3 = int(nm[-1])
+            st_in, st_out = mats[f"stack_in{i3}"], mats[f"stack_out{i3}"]
+            red = _mm_tn(st_in, _mm(sc, st_out))
+            se_lane = _mm_tn(st_in, sc) * eps_lane[nm]
+            red_e = _mm(se_lane, st_out)
+        elif nm in wide:
+            red = _mm(sc, mats["stackH"])
+            red_e = _mm(sc * eps_of(nm), mats["stackH"])
+        else:
+            # ones-COLUMN dot, not _mm_nt with the ones row: Mosaic lowers
+            # the row form to vector.multi_reduction, and a consumer that
+            # directly adds a non-constant to `red` (the MLAP kernel's
+            # closed-form outer-KL terms) gets folded into the reduction
+            # accumulator, which Mosaic rejects.
+            red = _mm(sc, mats["ones_s1"])
+            red_e = _mm(sc * eps_of(nm), mats["ones_s1"])
+        return red, red_e
+
+    return build_mats, sample, reduce_pair
+
+
 # ------------------------------------------------------------- kernel body
 
 
@@ -157,6 +232,8 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
     score_section = make_score_section(
         K=S, T=T, N=N, D=D, hidden=hidden, prior_factor=prior_factor,
         prior_ls=prior_ls, want_wql=True)
+    build_mats, sample_st, reduce_pair = make_lane_sample_ops(
+        S=S, hidden=hidden, layout=layout)
 
     # static shapes of the K=1 packed posterior tensors, for iteration
     k1_rows = {}
@@ -190,31 +267,12 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
         w_t = w_ref[...]      # [T, 1]  pre / n_eff (0 for empty tasks)
         step0 = step0_ref[0, 0]
 
-        stackH = _stack_mat(S, H)             # [S*H, H]
+        mats = build_mats()                   # loop-invariant helper mats
         bsumH = _block_sum_mat(S, H)          # [S*H, S]
         sumL = bsumH                          # score section's lane reducer
         ones_m = jnp.ones((1, M), jnp.float32)
-        ones1s = jnp.ones((1, S), jnp.float32)
-        bdm = {i: _bd_mask(S, hidden[i - 1], hidden[i])
-               for i in range(1, n_hidden)}
 
         wide = {nm for nm, _, _, nl in layout if nl == S * H}
-
-        def bc_cat(v):
-            """[R, H] K=1 tensor -> [R, S*H] (every lane block = v)."""
-            return _mm_nt(v, stackH)
-
-        def bc_scalar(v):
-            """[1, 1] -> [1, S]."""
-            return v * ones1s
-
-        def red_cat(g):
-            """adjoint of bc_cat: [R, S*H] -> [R, H] (sum over blocks)."""
-            return _mm(g, stackH)
-
-        def red_scalar(g):
-            """[1, S] -> [1, 1]."""
-            return _mm_nt(g, ones1s)
 
         def _adam(gs, th_l, m_l, v_l, i):
             t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
@@ -246,23 +304,8 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
                 return page[off:off + nr, :nl]
 
             # ---- sample: theta_s = loc + exp(log_scale) * eps_s --------
-            st = {}
             scale = {nm: jnp.exp(lsc[nm]) for nm in names}
-            eps_lane = {}
-            for nm in names:
-                if "wbd" in nm:
-                    i3 = int(nm[-1])
-                    h_in, h_out = hidden[i3 - 1], hidden[i3]
-                    st_out = _stack_mat(S, h_out)
-                    lane = (_mm_nt(loc[nm], st_out)
-                            + _mm_nt(scale[nm], st_out) * eps_of(nm))
-                    eps_lane[nm] = eps_of(nm)
-                    st[nm] = _mm(_stack_mat(S, h_in), lane) * bdm[i3]
-                elif nm in wide:
-                    st[nm] = bc_cat(loc[nm]) + bc_cat(scale[nm]) * eps_of(nm)
-                else:
-                    st[nm] = (bc_scalar(loc[nm])
-                              + bc_scalar(scale[nm]) * eps_of(nm))
+            st, eps_lane = sample_st(loc, scale, eps_of, mats)
 
             # ---- per-sample particle score (shared section, K = S) -----
             score, wql = score_section(st, x, y_nm, msk, w_t, sumL, ones_m)
@@ -290,27 +333,15 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
             for nm in names:
                 t_ = jnp.sum(lsc[nm])
                 sum_lsc = t_ if sum_lsc is None else sum_lsc + t_
-            mean_obj = red_scalar(obj) / S                      # [1, 1]
+            mean_obj = _mm_nt(obj, mats["ones1s"]) / S          # [1, 1]
             loss = -(mean_obj
                      + prior_factor * (ent_const + sum_lsc))    # [1, 1]
 
             # ---- reparameterization gradients --------------------------
             g_loc, g_lsc = [], []
             for nm in names:
-                sc = score[nm]
-                if "wbd" in nm:
-                    i3 = int(nm[-1])
-                    st_in = _stack_mat(S, hidden[i3 - 1])
-                    st_out = _stack_mat(S, hidden[i3])
-                    red = _mm_tn(st_in, _mm(sc, st_out))
-                    se_lane = _mm_tn(st_in, sc) * eps_lane[nm]
-                    red_e = _mm(se_lane, st_out)
-                elif nm in wide:
-                    red = red_cat(sc)
-                    red_e = red_cat(sc * eps_of(nm))
-                else:
-                    red = red_scalar(sc)
-                    red_e = red_scalar(sc * eps_of(nm))
+                red, red_e = reduce_pair(nm, score[nm], eps_of, eps_lane,
+                                         mats)
                 g_loc.append(-red / S)
                 g_lsc.append(-scale[nm] * red_e / S - prior_factor)
 

@@ -80,6 +80,9 @@ _SLOW = {
     # stays in the fast tier)
     "test_vi_fused_learner_matches_xla_trajectory",
     "test_vi_fused_resume_and_chunking_deterministic",
+    # test_fused_mlap.py — 3x 100-step learner fits / 4 fused learner fits
+    "test_mlap_fused_learner_close_to_xla_within_chaos_bound",
+    "test_mlap_fused_resume_and_chunking_deterministic",
     # test_seed_parallel.py — vmapped multi-seed fits (big stacked compiles;
     # svgd/vi/maml/per-seed-data variants keep the fast-tier coverage)
     "test_seed_mesh_sharded_matches_unsharded",

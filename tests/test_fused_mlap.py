@@ -125,3 +125,175 @@ class TestMLAPSpecVsAutodiff:
         np.testing.assert_allclose(
             np.asarray(flat_cf), np.asarray(flat_ad),
             rtol=5e-4, atol=5e-5 * scale)
+
+
+# ---------------------------------------------------------------- kernel
+
+
+def _spec_optax_steps(m, n_steps, start_step=0):
+    """Sequential closed-form spec steps through the learner's EXACT optax
+    multi_transform optimizer, following the XLA step's key discipline."""
+    import optax
+
+    X, Y, M = jnp.asarray(m.X), jnp.asarray(m.Y), jnp.asarray(m.mask)
+    params, opt_state = m.params, m.opt_state
+    losses, diags = [], []
+    for i in range(start_step, start_step + n_steps):
+        key = jax.random.fold_in(m._train_key, i)
+        k_task, k_theta = jax.random.split(key)
+        idx = jax.random.randint(k_task, (m.task_batch_size,), 0, m.n_tasks)
+        counts = jnp.sum(jax.nn.one_hot(idx, m.n_tasks, dtype=jnp.float32),
+                         axis=0)
+        eps = jax.random.normal(k_theta, (m.svi_batch_size, m.hyper_prior.dim),
+                                jnp.float32)
+        loss, grads, diag = mlap_loss_and_grads(
+            params, eps, counts, X, Y, M, m.hyper_prior,
+            task_kl_weight=m.task_kl_weight,
+            meta_kl_weight=m.meta_kl_weight, delta=m.delta)
+        upd, opt_state = m._opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, upd)
+        losses.append(float(loss))
+        diags.append({k: float(v) for k, v in diag.items()})
+    return params, opt_state, losses, diags
+
+
+def test_mlap_kernel_matches_spec_interpret():
+    """3 kernel steps (interpret) == 3 sequential spec+optax steps, same
+    randomness. The inner-KL gram has no likelihood noise (condition number
+    ~1e6 at init), so KL-side gradients inherit amplified f32 rounding —
+    tolerances are scale-relative with that amplification in mind; the
+    unamplified outputs (avg_ll, outer KL, noise grad) are tight."""
+    from meta_learning_pacoh_tpu.ops.pallas.fused_mlap_kernel import (
+        FusedMLAPTrainer,
+    )
+
+    m = _make_learner(posterior_lr_multiplier=2.0)
+    tr = FusedMLAPTrainer(
+        m.hyper_prior, m.params, jnp.asarray(m.X), jnp.asarray(m.Y),
+        jnp.asarray(m.mask), hidden=(32, 32), lr=m.lr,
+        posterior_lr_multiplier=2.0, task_batch_size=m.task_batch_size,
+        svi_batch_size=m.svi_batch_size, task_kl_weight=m.task_kl_weight,
+        meta_kl_weight=m.meta_kl_weight, delta=m.delta,
+        weight_prior_std=0.5, bias_prior_std=3.0, base_key=m._train_key,
+        interpret=True)
+
+    params_s, opt_s, losses, diags = _spec_optax_steps(m, 3)
+    tr.run(3, 0)
+    pk, mk, vk = tr.sync()
+
+    np.testing.assert_allclose(float(tr.last_loss), losses[-1], rtol=2e-3)
+    np.testing.assert_allclose(float(tr.avg_loss), np.mean(losses),
+                               rtol=2e-3)
+    np.testing.assert_allclose(float(tr.last_diag["avg_ll"]),
+                               diags[-1]["avg_ll"], rtol=1e-4)
+    np.testing.assert_allclose(float(tr.last_diag["kl_outer_weighted"]),
+                               diags[-1]["kl_outer_weighted"], rtol=1e-4)
+
+    flat_k, _ = jax.flatten_util.ravel_pytree(pk)
+    flat_s, _ = jax.flatten_util.ravel_pytree(params_s)
+    scale = float(jnp.max(jnp.abs(flat_s))) + 1e-12
+    np.testing.assert_allclose(np.asarray(flat_k), np.asarray(flat_s),
+                               rtol=2e-2, atol=1e-2 * scale)
+
+    main = opt_s.inner_states["main"].inner_state[0]
+    post = opt_s.inner_states["posterior"].inner_state[0]
+    for kern, spec in [
+        (mk["hyper_post"]["loc"], main.mu["hyper_post"]["loc"]),
+        (mk["raw_noise"], main.mu["raw_noise"]),
+        (mk["q_means"], post.mu["q_means"]),
+        (mk["q_trils"], post.mu["q_trils"]),
+        (vk["q_trils"], post.nu["q_trils"]),
+    ]:
+        s = float(jnp.max(jnp.abs(jnp.asarray(spec)))) + 1e-12
+        np.testing.assert_allclose(np.asarray(jnp.asarray(kern)),
+                                   np.asarray(jnp.asarray(spec)),
+                                   rtol=5e-2, atol=3e-2 * s)
+
+
+def _make_fused_learner(n_iter=100, seed=1, **extra):
+    env = SinusoidDataset(random_state=np.random.RandomState(26))
+    train = env.generate_meta_train_data(n_tasks=4, n_samples=5)
+    kw = dict(num_iter_fit=n_iter, random_seed=seed, covar_module="NN",
+              mean_module="NN", svi_batch_size=3, meta_kl_weight=1e-3,
+              task_kl_weight=0.5, mean_nn_layers=(8, 8),
+              kernel_nn_layers=(8, 8))
+    kw.update(extra)
+    return GPRegressionMetaLearnedPAC(train, **kw), train, kw
+
+
+def test_mlap_fused_learner_close_to_xla_within_chaos_bound(monkeypatch):
+    """Fused meta_fit tracks the XLA trajectory as closely as f32 chaos
+    permits: the no-noise inner-KL gram (condition ~1e6) amplifies ANY
+    rounding difference, so the yardstick is an XLA run whose init is
+    perturbed by 1e-7 — the fused-vs-XLA gap must be within a small factor
+    of that intrinsic chaos gap."""
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    m_f, train, kw = _make_fused_learner()
+    assert m_f._fused_path_ok()
+    loss_f, diag_f = m_f.meta_fit(verbose=False, log_period=50)
+
+    monkeypatch.setenv("PACOH_TPU_DISABLE_PALLAS", "1")
+    monkeypatch.delenv("PACOH_TPU_FORCE_PALLAS", raising=False)
+    m_x = GPRegressionMetaLearnedPAC(train, **kw)
+    assert not m_x._fused_path_ok()
+    loss_x, diag_x = m_x.meta_fit(verbose=False, log_period=50)
+
+    m_p = GPRegressionMetaLearnedPAC(train, **kw)
+    m_p.params["hyper_post"]["loc"] = (
+        m_p.params["hyper_post"]["loc"] * (1.0 + 1e-7))
+    m_p.meta_fit(verbose=False, log_period=50)
+
+    np.testing.assert_allclose(loss_f, loss_x, rtol=1e-2)
+    np.testing.assert_allclose(diag_f["avg_ll"], diag_x["avg_ll"], rtol=2e-2)
+
+    flat_f, _ = jax.flatten_util.ravel_pytree(m_f.params)
+    flat_x, _ = jax.flatten_util.ravel_pytree(m_x.params)
+    flat_p, _ = jax.flatten_util.ravel_pytree(m_p.params)
+    gap_fused = float(jnp.max(jnp.abs(flat_f - flat_x)))
+    gap_chaos = float(jnp.max(jnp.abs(flat_p - flat_x)))
+    assert gap_fused <= 4.0 * gap_chaos + 1e-4, (gap_fused, gap_chaos)
+
+
+def test_mlap_fused_resume_and_chunking_deterministic(monkeypatch):
+    """2 x 10-step chunks == 1 x 20-step chunk, and a state_dict round-trip
+    into a fresh learner resumes the fused path bit-compatibly (Adam
+    moments of BOTH multi_transform groups carried)."""
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    m_a, train, kw = _make_fused_learner(n_iter=20)
+    assert m_a._fused_path_ok()
+    m_a.meta_fit(verbose=False, log_period=10)   # 2 chunks
+
+    m_b = GPRegressionMetaLearnedPAC(train, **kw)
+    m_b.meta_fit(verbose=False, log_period=20)   # 1 chunk
+    flat_a, _ = jax.flatten_util.ravel_pytree(m_a.params)
+    flat_b, _ = jax.flatten_util.ravel_pytree(m_b.params)
+    np.testing.assert_allclose(np.asarray(flat_a), np.asarray(flat_b),
+                               rtol=1e-5, atol=1e-7)
+
+    # resume: 10 steps, checkpoint, restore into a fresh learner, 10 more
+    m_c = GPRegressionMetaLearnedPAC(train, **kw)
+    m_c.meta_fit(verbose=False, log_period=10, n_iter=10)
+    state = m_c.state_dict()
+    m_d = GPRegressionMetaLearnedPAC(train, **kw)
+    m_d.load_state_dict(state)
+    m_d.meta_fit(verbose=False, log_period=10, n_iter=10)
+    flat_d, _ = jax.flatten_util.ravel_pytree(m_d.params)
+    np.testing.assert_allclose(np.asarray(flat_d), np.asarray(flat_b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mlap_fused_gate_rejects_out_of_window_configs(monkeypatch):
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    m, train, kw = _make_fused_learner()
+    assert m._fused_path_ok()
+    for bad in (dict(cov_type="full"), dict(feature_dim=2),
+                dict(covar_module="SE"), dict(mean_module="constant"),
+                dict(lr_decay=0.9), dict(optimizer="SGD")):
+        kw_bad = dict(kw)
+        kw_bad.update(bad)
+        m_bad = GPRegressionMetaLearnedPAC(train, **kw_bad)
+        assert not m_bad._fused_path_ok(), bad
+    # sampled task minibatches ARE in the window (count-weighted)
+    kw_tb = dict(kw)
+    kw_tb.update(task_batch_size=2)
+    assert GPRegressionMetaLearnedPAC(train, **kw_tb)._fused_path_ok()
