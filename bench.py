@@ -127,9 +127,13 @@ def main():
         float(jnp.asarray(leaf).ravel()[0])
         per_iter_ms[name] = round((time.time() - t0) / 5.0, 4)
 
-    # MLAP meta-test: 3000-step inner Adam for 5 tasks in one vmapped scan
+    # MLAP meta-test: 3000-step inner Adam for 5 tasks (fused Pallas
+    # inference kernel on TPU; one vmapped scan on the XLA path). Warm-up
+    # must use the SAME n_iter — it is a static arg, so a different value
+    # would leave compilation inside the timed region.
     ctx = [t[:2] for t in meta_test[:5]]
-    mlap_model._meta_test_inference(ctx, n_iter=10)  # compile warm-up
+    st = mlap_model._meta_test_inference(ctx, n_iter=3000)  # compile warm-up
+    float(jnp.asarray(st["q_means"]).ravel()[0])
     t0 = time.time()
     st = mlap_model._meta_test_inference(ctx, n_iter=3000)
     float(jnp.asarray(st["q_means"]).ravel()[0])

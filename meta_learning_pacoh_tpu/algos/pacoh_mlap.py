@@ -200,20 +200,32 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         return mean, cov
 
     def _init_task_posteriors(self, hyper_post, X, key, mask=None):
-        """q_t init at the aggregated prior (reference: GPR_meta_mlap.py:247-256)."""
-        k_theta, k_eps = jax.random.split(key)
-        theta = posterior_rsample(hyper_post, k_theta, _N_AGG_SAMPLES)
+        """q_t init at the aggregated prior (reference: GPR_meta_mlap.py:247-256).
+
+        Jitted once per learner: this runs on EVERY predict/eval call
+        (meta-test inference), and eager tracing dispatches hundreds of tiny
+        ops through the device tunnel — tens of ms per call on the axon
+        relay."""
         if mask is None:
             mask = jnp.ones(X.shape[:2], jnp.float32)
+        fn = getattr(self, "_init_q_jit", None)
+        if fn is None:
+            def init_q(hyper_post, X, mask, key):
+                k_theta, k_eps = jax.random.split(key)
+                theta = posterior_rsample(hyper_post, k_theta,
+                                          _N_AGG_SAMPLES)
+                eps = jax.random.normal(k_eps, X.shape[:2], jnp.float32)
 
-        def one(x, eps, m):
-            mean, cov = self._prior_moments(theta, x, mask=m)
-            q_mean = mean + 1e-3 * eps * m
-            q_tril = safe_cholesky(cov + 1e-3 * jnp.eye(x.shape[0]))
-            return q_mean, q_tril
+                def one(x, e, m):
+                    mean, cov = self._prior_moments(theta, x, mask=m)
+                    q_mean = mean + 1e-3 * e * m
+                    q_tril = safe_cholesky(cov + 1e-3 * jnp.eye(x.shape[0]))
+                    return q_mean, q_tril
 
-        eps = jax.random.normal(k_eps, X.shape[:2], jnp.float32)
-        return jax.vmap(one)(X, eps, jnp.asarray(mask))
+                return jax.vmap(one)(X, eps, mask)
+
+            fn = self._init_q_jit = jax.jit(init_q)
+        return fn(hyper_post, jnp.asarray(X), jnp.asarray(mask), key)
 
     def _task_bound(self, q_mean, q_tril, x, y, theta, noise_var, kl_outer,
                     n_tasks, mask=None):
@@ -327,6 +339,27 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         return run_chunk
 
     # ------------------------------------------------ fused-kernel fast path
+    def _fused_window_ok(self, n_points):
+        """The structural window both MLAP mega-kernels share: NN/NN with
+        one shared hidden width, feature_dim 1, diag hyper-posterior,
+        n_points within the unrolled-linalg window, lane budget for the
+        S-sample layout."""
+        from meta_learning_pacoh_tpu import config
+
+        cfg = self.cfg
+        hidden = tuple(cfg.mean_nn_layers)
+        return (
+            config.pallas_enabled()
+            and self._mesh is None
+            and self._cov_type == "diag"
+            and cfg.mean_module == "NN" and cfg.covar_module == "NN"
+            and cfg.feature_dim == 1
+            and hidden == tuple(cfg.kernel_nn_layers)
+            and len(set(hidden)) == 1 and len(hidden) >= 1
+            and self.svi_batch_size * hidden[0] <= 1024  # lane budget
+            and n_points <= 8  # unrolled-linalg window (ops/gp.py)
+        )
+
     def _fused_path_ok(self):
         """Whether the single-launch Pallas MLAP training kernel applies.
 
@@ -336,10 +369,6 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         unrolled-linalg window. Everything else uses the general
         scan-fused XLA step.
         """
-        from meta_learning_pacoh_tpu import config
-
-        cfg = self.cfg
-        hidden = tuple(cfg.mean_nn_layers)
         st = self.opt_state
         adam_ok = (
             hasattr(st, "inner_states")
@@ -350,16 +379,8 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             )
         )
         return (
-            config.pallas_enabled()
-            and self._mesh is None
-            and self._cov_type == "diag"
+            self._fused_window_ok(self.X.shape[1])
             and self._optimizer_name == "Adam" and self._lr_decay == 1.0
-            and cfg.mean_module == "NN" and cfg.covar_module == "NN"
-            and cfg.feature_dim == 1
-            and hidden == tuple(cfg.kernel_nn_layers)
-            and len(set(hidden)) == 1 and len(hidden) >= 1
-            and self.svi_batch_size * hidden[0] <= 1024  # lane budget
-            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
             and adam_ok
         )
 
@@ -580,10 +601,45 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         q_means, q_trils = self._init_task_posteriors(
             self.params["hyper_post"], Xc, k_init, mask=Mc
         )
-        q_params, losses = self._meta_test_fn(
-            self.params["hyper_post"], self.params["raw_noise"], Xc, Yc, Mc,
-            q_means, q_trils, k_opt, n_iter, lr,
-        )
+        if self._fused_window_ok(Xc.shape[1]):
+            # single-launch Pallas inference: same per-step theta noise as
+            # the XLA path (split(k_opt, n_iter) keys), frozen hyper state,
+            # q-only Adam — see FusedMLAPMetaTest. Instances are cached by
+            # (T, N, n_iter, lr): construction jits per-instance closures,
+            # so a fresh instance per predict would recompile every call.
+            from meta_learning_pacoh_tpu import config
+            from meta_learning_pacoh_tpu.ops.pallas.fused_mlap_kernel import (
+                FusedMLAPMetaTest,
+            )
+
+            params = {"hyper_post": self.params["hyper_post"],
+                      "raw_noise": self.params["raw_noise"],
+                      "q_means": q_means, "q_trils": q_trils}
+            cache = getattr(self, "_mt_cache", None)
+            if cache is None:
+                cache = self._mt_cache = {}
+            ck = (Xc.shape[0], Xc.shape[1], int(n_iter), float(lr))
+            mt = cache.get(ck)
+            if mt is None:
+                mt = cache[ck] = FusedMLAPMetaTest(
+                    self.hyper_prior, params, Xc, Yc, Mc,
+                    hidden=tuple(self.cfg.mean_nn_layers), lr=lr,
+                    svi_batch_size=self.svi_batch_size,
+                    task_kl_weight=self.task_kl_weight,
+                    meta_kl_weight=self.meta_kl_weight, delta=self.delta,
+                    bound_n_tasks=self.n_tasks,
+                    weight_prior_std=self._weight_prior_std,
+                    bias_prior_std=self._bias_prior_std, base_key=k_opt,
+                    total_iters=n_iter, interpret=config.pallas_interpret())
+            else:
+                mt.reset(params, Xc, Yc, Mc, k_opt)
+            mt.run(n_iter, 0)
+            q_params = mt.q_params()
+        else:
+            q_params, _losses = self._meta_test_fn(
+                self.params["hyper_post"], self.params["raw_noise"], Xc, Yc,
+                Mc, q_means, q_trils, k_opt, n_iter, lr,
+            )
         return {
             "Xc": Xc, "Yc": Yc, "Mc": Mc,
             "q_means": q_params["q_means"], "q_trils": q_params["q_trils"],

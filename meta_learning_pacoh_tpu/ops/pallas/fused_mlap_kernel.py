@@ -52,6 +52,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -118,9 +119,18 @@ def _page_d(hyper_prior, hidden):
 
 def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
                       task_kl_weight, meta_kl_weight, delta, p_dim,
-                      sum_log_sigma_p, n_steps, b1=0.9, b2=0.999,
-                      eps_adam=1e-8):
-    """B = task minibatch size (counts sum); S = theta sample count."""
+                      sum_log_sigma_p, n_steps, meta_test=False, b1=0.9,
+                      b2=0.999, eps_adam=1e-8):
+    """B = task minibatch size (counts sum); S = theta sample count.
+
+    meta_test=True builds the MLAP meta-test inference kernel instead
+    (reference: GPR_meta_mlap.py:372-390 / algos/pacoh_mlap.py
+    run_inference): the hyper-posterior and noise are FROZEN (theta still
+    sampled per step from them), the loss is the plain SUM of per-task
+    bounds (u = 1, no meta-complexity term), and only (q_means, q_trils)
+    receive gradients + Adam updates (single group, lr_post). The entire
+    net backward, reparameterization reduction, and outer-KL gradient
+    sections drop out — the per-iteration cost is forward + q-side only."""
     n_hidden = len(hidden)
     M = T * N
     names = state_names(n_hidden)
@@ -343,12 +353,14 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
 
             complexity = jnp.sqrt((kl_outer + kl_inner + c_t) / c2)
             bound = -avg_ll + complexity
-            meta_c = jnp.sqrt((kl_outer + meta_ct) / cm2)         # scalar
-            loss = jnp.sum(u * bound) + meta_c
+            if meta_test:
+                loss = jnp.sum(u * bound)
+            else:
+                meta_c = jnp.sqrt((kl_outer + meta_ct) / cm2)     # scalar
+                loss = jnp.sum(u * bound) + meta_c
 
             # =============== backward (all closed form) ===============
             beta = u / (2.0 * c2 * complexity)          # [T, 1]
-            chi = jnp.sum(beta) + 1.0 / (2.0 * cm2 * meta_c)
             gamma = beta * tkw / S                      # [T, 1]
 
             # PL[(i,k)] = (Kinv L0)_{ik}: [T, S]
@@ -361,53 +373,57 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
                         acc = t_ if acc is None else acc + t_
                     PL[(i2, k2)] = acc
 
-            # gram backward: dKL/dK1 chained to dz (same structure as the
-            # MLL backward in make_score_section)
-            dmu_rows = []
-            dz_rows = []
-            dls_acc = None
-            for i2 in range(N):
-                dmu_rows.append(gamma * w[i2] * m_e[i2])
-                acc = None
-                for j2 in range(N):
-                    plpl = None
-                    for k2 in range(N):
-                        t_ = PL[(i2, k2)] * PL[(j2, k2)]
-                        plpl = t_ if plpl is None else plpl + t_
-                    g_ij = 0.5 * gamma * (Kinv[(i2, j2)] - plpl
-                                          - w[i2] * w[j2])
-                    dkm = g_ij * m_e[i2] * m_e[j2]
-                    dd2 = -0.5 * dkm * Km_e[(i2, j2)]
-                    term = 2.0 * dd2 * (z_e[i2] - z_e[j2])
-                    acc = term if acc is None else acc + term
-                dz_i = 2.0 * acc  # A_ij = dd2_ij + dd2_ji = 2 dd2_ij
-                dz_rows.append(dz_i)
-                c_ = dz_i * (-z_e[i2]) / sp_ls
-                dls_acc = c_ if dls_acc is None else dls_acc + c_
+            if not meta_test:
+                chi = (jnp.sum(beta) + 1.0 / (2.0 * cm2 * meta_c))
+                # gram backward: dKL/dK1 chained to dz (same structure as
+                # the MLL backward in make_score_section)
+                dmu_rows = []
+                dz_rows = []
+                dls_acc = None
+                for i2 in range(N):
+                    dmu_rows.append(gamma * w[i2] * m_e[i2])
+                    acc = None
+                    for j2 in range(N):
+                        plpl = None
+                        for k2 in range(N):
+                            t_ = PL[(i2, k2)] * PL[(j2, k2)]
+                            plpl = t_ if plpl is None else plpl + t_
+                        g_ij = 0.5 * gamma * (Kinv[(i2, j2)] - plpl
+                                              - w[i2] * w[j2])
+                        dkm = g_ij * m_e[i2] * m_e[j2]
+                        dd2 = -0.5 * dkm * Km_e[(i2, j2)]
+                        term = 2.0 * dd2 * (z_e[i2] - z_e[j2])
+                        acc = term if acc is None else acc + term
+                    dz_i = 2.0 * acc  # A_ij = dd2_ij + dd2_ji = 2 dd2_ij
+                    dz_rows.append(dz_i)
+                    c_ = dz_i * (-z_e[i2]) / sp_ls
+                    dls_acc = c_ if dls_acc is None else dls_acc + c_
 
-            d_ls = (jnp.sum(dls_acc, axis=0, keepdims=True)
-                    * _sigmoid(st["ls"]))               # [1, S]
-            DPHI = jnp.concatenate(
-                [dz_rows[i2] / sp_ls for i2 in range(N)], axis=0)  # [M, S]
-            DMU = jnp.concatenate(dmu_rows, axis=0)                # [M, S]
+                d_ls = (jnp.sum(dls_acc, axis=0, keepdims=True)
+                        * _sigmoid(st["ls"]))           # [1, S]
+                DPHI = jnp.concatenate(
+                    [dz_rows[i2] / sp_ls for i2 in range(N)],
+                    axis=0)                                        # [M, S]
+                DMU = jnp.concatenate(dmu_rows, axis=0)            # [M, S]
 
-            score = {}
-            score.update(net_bwd(st, "m", m_acts, DMU, x, sumL, ones_m))
-            score.update(net_bwd(st, "k", k_acts, DPHI, x, sumL, ones_m))
-            score["ls"] = d_ls
-            score["nz"] = jnp.zeros((1, S), jnp.float32)
+                score = {}
+                score.update(net_bwd(st, "m", m_acts, DMU, x, sumL, ones_m))
+                score.update(net_bwd(st, "k", k_acts, DPHI, x, sumL, ones_m))
+                score["ls"] = d_ls
+                score["nz"] = jnp.zeros((1, S), jnp.float32)
 
-            # hyper-posterior gradients: reparameterization reduction +
-            # closed-form outer-KL terms
-            g_loc, g_lsc = [], []
-            for nm in names:
-                red, red_e = reduce_pair(nm, score[nm], eps_of, eps_lane,
-                                         mats)
-                p_loc, p_scale = prior_ls[nm]
-                g_loc.append(red + chi * mkw * (loc[nm] - p_loc)
-                             / (p_scale * p_scale))
-                g_lsc.append(scale[nm] * red_e
-                             + chi * mkw * ((scale[nm] / p_scale) ** 2 - 1.0))
+                # hyper-posterior gradients: reparameterization reduction +
+                # closed-form outer-KL terms
+                g_loc, g_lsc = [], []
+                for nm in names:
+                    red, red_e = reduce_pair(nm, score[nm], eps_of, eps_lane,
+                                             mats)
+                    p_loc, p_scale = prior_ls[nm]
+                    g_loc.append(red + chi * mkw * (loc[nm] - p_loc)
+                                 / (p_scale * p_scale))
+                    g_lsc.append(scale[nm] * red_e
+                                 + chi * mkw * ((scale[nm] / p_scale) ** 2
+                                                - 1.0))
 
             # ---- q-side gradients ----
             ll_coef = u / (noise_var * n_eff)           # [T, 1]
@@ -432,25 +448,38 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
                                      * m_e[i2] * m_e[j2])
             g_qt = jnp.concatenate(g_qt_rows, axis=0)   # [N*N*T, 1]
 
-            dv_sum = None
-            for i2 in range(N):
-                t_ = m_e[i2] * (0.5 * (r_rows[i2] * r_rows[i2] + f_var[i2])
-                                / (noise_var * noise_var) - 0.5 / noise_var)
-                dv_sum = t_ if dv_sum is None else dv_sum + t_
-            davg_dvar = dv_sum / n_eff                  # [T, 1]
-            g_nu = (_sigmoid(nu[0, 0]) * jnp.sum(u * (-davg_dvar))
-                    * jnp.ones((1, 1), jnp.float32))
+            if meta_test:
+                # only (q_means, q_trils) train; hyper state + noise and
+                # their moment buffers pass through the carry untouched
+                new_st = list(st_l)
+                new_m = list(m_l)
+                new_v = list(v_l)
+                for k3, g in ((2 * NS, g_qm), (2 * NS + 1, g_qt)):
+                    th_n, m_n, v_n = _adam(g, st_l[k3], m_l[k3], v_l[k3],
+                                           i, lr_post)
+                    new_st[k3], new_m[k3], new_v[k3] = th_n, m_n, v_n
+            else:
+                dv_sum = None
+                for i2 in range(N):
+                    t_ = m_e[i2] * (0.5 * (r_rows[i2] * r_rows[i2]
+                                           + f_var[i2])
+                                    / (noise_var * noise_var)
+                                    - 0.5 / noise_var)
+                    dv_sum = t_ if dv_sum is None else dv_sum + t_
+                davg_dvar = dv_sum / n_eff              # [T, 1]
+                g_nu = (_sigmoid(nu[0, 0]) * jnp.sum(u * (-davg_dvar))
+                        * jnp.ones((1, 1), jnp.float32))
 
-            # ---- Adam (exact optax multi_transform semantics) ----
-            grads = g_loc + g_lsc + [g_qm, g_qt, g_nu]
-            lrs = ([lr_main] * (2 * NS) + [lr_post, lr_post, lr_main])
-            # raw_noise rides the "main" group; q posteriors "posterior"
-            new_st, new_m, new_v = [], [], []
-            for g, th, m_, v_, lr_k in zip(grads, st_l, m_l, v_l, lrs):
-                th_n, m_n, v_n = _adam(g, th, m_, v_, i, lr_k)
-                new_st.append(th_n)
-                new_m.append(m_n)
-                new_v.append(v_n)
+                # ---- Adam (exact optax multi_transform semantics) ----
+                grads = g_loc + g_lsc + [g_qm, g_qt, g_nu]
+                lrs = ([lr_main] * (2 * NS) + [lr_post, lr_post, lr_main])
+                # raw_noise rides the "main" group; q posteriors "posterior"
+                new_st, new_m, new_v = [], [], []
+                for g, th, m_, v_, lr_k in zip(grads, st_l, m_l, v_l, lrs):
+                    th_n, m_n, v_n = _adam(g, th, m_, v_, i, lr_k)
+                    new_st.append(th_n)
+                    new_m.append(m_n)
+                    new_v.append(v_n)
 
             diag = (loss * jnp.ones((1, 1), jnp.float32),
                     _scal[1] + loss,
@@ -483,12 +512,12 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
     static_argnames=("S", "T", "N", "D", "B", "hidden", "lr_main", "lr_post",
                      "wps", "bps", "task_kl_weight", "meta_kl_weight",
                      "delta", "p_dim", "sum_log_sigma_p", "n_steps",
-                     "interpret"))
+                     "meta_test", "interpret"))
 def fused_mlap_train_packed(state_l, m_l, v_l, x, y_nm, mask_nm, n_eff,
                             pages, step0, *, S, T, N, D, B, hidden, lr_main,
                             lr_post, wps, bps, task_kl_weight,
                             meta_kl_weight, delta, p_dim, sum_log_sigma_p,
-                            n_steps, interpret=False):
+                            n_steps, meta_test=False, interpret=False):
     """Run n_steps MLAP iterations in one kernel launch on packed state.
 
     state_l / m_l / v_l: lists ordered [loc tensors..., lsc tensors...,
@@ -498,7 +527,8 @@ def fused_mlap_train_packed(state_l, m_l, v_l, x, y_nm, mask_nm, n_eff,
         S=S, T=T, N=N, D=D, B=B, hidden=tuple(hidden), lr_main=lr_main,
         lr_post=lr_post, wps=wps, bps=bps, task_kl_weight=task_kl_weight,
         meta_kl_weight=meta_kl_weight, delta=delta, p_dim=p_dim,
-        sum_log_sigma_p=sum_log_sigma_p, n_steps=n_steps)
+        sum_log_sigma_p=sum_log_sigma_p, n_steps=n_steps,
+        meta_test=meta_test)
     NP = len(state_l)
     all_in = (list(state_l) + list(m_l) + list(v_l)
               + [x, y_nm, mask_nm, n_eff, pages,
@@ -542,8 +572,6 @@ class FusedMLAPTrainer:
                  posterior_lr_multiplier, task_batch_size, svi_batch_size,
                  task_kl_weight, meta_kl_weight, delta, weight_prior_std,
                  bias_prior_std, base_key, interpret=False):
-        import numpy as np
-
         from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
             pack_state,
             unpack_state,
@@ -667,6 +695,8 @@ class FusedMLAPTrainer:
             self._run_one(sub, step0 + done)
             done += sub
 
+    META_TEST = False
+
     def _run_one(self, n_steps, step0):
         pages = self._make_pages(self.base_key, int(step0), int(n_steps))
         (self.state_l, self.m_l, self.v_l, self.last_loss, self.avg_loss,
@@ -678,8 +708,103 @@ class FusedMLAPTrainer:
             bps=self.bps, task_kl_weight=self.tkw, meta_kl_weight=self.mkw,
             delta=self.delta, p_dim=self.p_dim,
             sum_log_sigma_p=self.sum_log_sigma_p, n_steps=int(n_steps),
-            interpret=self.interpret)
+            meta_test=self.META_TEST, interpret=self.interpret)
 
     def sync(self):
         """(params, adam_mu, adam_nu) in the learner's pytree layout."""
         return self._unpack_all(self.state_l, self.m_l, self.v_l)
+
+
+class FusedMLAPMetaTest(FusedMLAPTrainer):
+    """Meta-test inference in one kernel launch per <=512-step page window.
+
+    Same packed layouts and host driver as training, with three deltas
+    (reference semantics: algos/pacoh_mlap.py run_inference /
+    GPR_meta_mlap.py:372-390):
+
+    - the kernel is built with meta_test=True: hyper-posterior + noise are
+      frozen (theta still sampled per step), loss = SUM of per-task bounds
+      (no meta-complexity), only (q_means, q_trils) get Adam (lr_post);
+    - per-step randomness mirrors run_inference EXACTLY: the step-i theta
+      noise is jax.random.normal(split(k_opt, total_iters)[i], [S, P]) —
+      posterior_rsample's draw — instead of training's fold_in discipline;
+    - task-draw counts are all-ones (every test task, every step).
+
+    Construct with n_tasks = number of TEST tasks (T of X/Y/mask) but the
+    BOUND's log(n_tasks) term taken from the meta-TRAIN task count via
+    bound_n_tasks (the learner passes self.n_tasks).
+    """
+
+    META_TEST = True
+
+    def __init__(self, hyper_prior, params, X, Y, mask, *, hidden, lr,
+                 svi_batch_size, task_kl_weight, meta_kl_weight, delta,
+                 bound_n_tasks, weight_prior_std, bias_prior_std, base_key,
+                 total_iters, interpret=False):
+        super().__init__(
+            hyper_prior, params, X, Y, mask, hidden=hidden, lr=lr,
+            posterior_lr_multiplier=1.0, task_batch_size=1,
+            svi_batch_size=svi_batch_size, task_kl_weight=task_kl_weight,
+            meta_kl_weight=meta_kl_weight, delta=delta,
+            weight_prior_std=weight_prior_std, bias_prior_std=bias_prior_std,
+            base_key=base_key, interpret=interpret)
+        # the complexity term's log(n_tasks): meta-train count, not T_test
+        # (run_inference passes self.n_tasks). Encoded via meta_ct which is
+        # static inside the kernel maker -> carry it through delta'/T: the
+        # kernel computes meta_ct = log 2 + log T - log delta with T = the
+        # kernel's T (test tasks). Rescale delta so the sum matches:
+        # log 2 + log T_test - log delta' == log 2 + log n_tasks - log delta.
+        self.delta = float(delta * self.T / float(bound_n_tasks))
+
+        hp, hidden_t, s_n, p_n = hyper_prior, self.hidden, self.S, self.p_dim
+        t_n = self.T
+        total = int(total_iters)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def make_pages_mt(k_opt, start_step, n_steps):
+            keys = jax.random.split(k_opt, total)
+            idx = start_step + jnp.arange(n_steps)
+
+            def one(i):
+                eps = jax.random.normal(keys[i], (s_n, p_n), jnp.float32)
+                return pack_mlap_page(hp, eps, jnp.ones((t_n,), jnp.float32),
+                                      hidden_t)
+
+            return jax.vmap(one)(idx)
+
+        self._make_pages = make_pages_mt
+
+    def q_params(self):
+        """{'q_means' [T, N], 'q_trils' [T, N, N]} in the learner layout."""
+        params, _, _ = self.sync()
+        return {"q_means": params["q_means"], "q_trils": params["q_trils"]}
+
+    def reset(self, params, X, Y, mask, base_key):
+        """Re-arm a cached instance for a new inference call: repack state,
+        zero the Adam moments, swap the context data and key. The repack is
+        ONE jitted call (built lazily, cached on the instance) — eager
+        packing dispatches ~100 tiny ops through the device tunnel, which
+        costs more than the whole 3000-step inference."""
+        assert X.shape == (self.T, self.N, self.D)
+        fn = getattr(self, "_reset_jit", None)
+        if fn is None:
+            def repack(params, X, Y, mask):
+                state_l = self._pack_params(params)
+                # two DISTINCT zero lists: m_l and v_l are donated buffers
+                # of the kernel call and must not alias each other
+                zeros_m = [jnp.zeros_like(t) for t in state_l]
+                zeros_v = [jnp.zeros_like(t) for t in state_l]
+                n_eff = jnp.sum(mask, axis=-1).reshape(
+                    self.T, 1).astype(jnp.float32)
+                x = jnp.transpose(X, (1, 0, 2)).reshape(
+                    self.N * self.T, self.D).astype(jnp.float32)
+                y_nm = jnp.transpose(Y, (1, 0)).reshape(
+                    self.N * self.T, 1).astype(jnp.float32)
+                mask_nm = jnp.transpose(mask, (1, 0)).reshape(
+                    self.N * self.T, 1).astype(jnp.float32)
+                return state_l, zeros_m, zeros_v, n_eff, x, y_nm, mask_nm
+
+            fn = self._reset_jit = jax.jit(repack)
+        (self.state_l, self.m_l, self.v_l, self.n_eff, self.x, self.y_nm,
+         self.mask_nm) = fn(params, X, Y, mask)
+        self.base_key = base_key
