@@ -301,7 +301,11 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         return (
             config.pallas_enabled()
             and self._mesh is None
-            and self.task_batch_size == self.n_tasks
+            # full batch, or sampled batches via the count-weighted pages
+            # (the kernel mirrors _weight_by_counts; gather-mode stays XLA
+            # so the golden CPU trajectories are untouched)
+            and (self.task_batch_size == self.n_tasks
+                 or self._weight_by_counts())
             and self.learning_mode == "both"
             and self._optimizer_name == "Adam" and self._lr_decay == 1.0
             and cfg.mean_module == "NN" and cfg.covar_module == "NN"
@@ -326,6 +330,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                 kernel_hidden=self.cfg.kernel_nn_layers,
                 lr=self.lr_params, weight_decay=self.weight_decay,
                 noise_floor=self.cfg.noise_floor,
+                task_batch_size=self.task_batch_size,
+                base_key=self._train_key,
                 interpret=config.pallas_interpret(),
             )
             if self._step_count > 0:  # resume: carry the live Adam moments

@@ -24,7 +24,9 @@ VPU — [T, 1] tiles occupy the same vector registers as the SVGD kernel's
 
 Fast-path constraints (the general XLA path remains for the rest):
 mean_module == covar_module == 'NN', learning_mode == 'both', full task
-batch, Adam(W) with constant lr, N <= 8 (unrolled-linalg window), f32.
+batch OR count-weighted sampled batches (counted=True — per-step draw
+counts streamed as pages, the learner's _weight_by_counts analog),
+Adam(W) with constant lr, N <= 8 (unrolled-linalg window), f32.
 
 Known divergence from optax: the Adam bias-correction step counter is
 carried as f32 SMEM (`t_f = step0 + i + 1`), so past ~2^24 total steps the
@@ -121,7 +123,13 @@ def unpack_state(packed, mean_hidden, kernel_hidden):
 
 
 def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
-                 noise_floor, n_steps, b1=0.9, b2=0.999, eps=1e-8):
+                 noise_floor, n_steps, counted=False, b1=0.9, b2=0.999,
+                 eps=1e-8):
+    """counted=True streams a per-step [T] task-draw count page and weights
+    every per-task contribution by counts_t * w_t — the kernel analog of
+    the learner's no-gather count-weighted task batching
+    (algos/pacoh_map.py _weight_by_counts; same randint draws host-side,
+    so the fused and XLA paths follow the SAME random trajectory)."""
     M = T * N
     names = state_names(mean_hidden, kernel_hidden)
     S = len(names)
@@ -132,11 +140,16 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
         m_refs = refs[S:2 * S]
         v_refs = refs[2 * S:3 * S]
         x_ref, y_ref, mask_ref, w_ref, step0_ref = refs[3 * S:3 * S + 5]
-        out_state = refs[3 * S + 5:4 * S + 5]
-        out_m = refs[4 * S + 5:5 * S + 5]
-        out_v = refs[5 * S + 5:6 * S + 5]
-        out_loss = refs[6 * S + 5]       # [1, 1] last-iteration loss
-        out_loss_sum = refs[6 * S + 6]   # [1, 1] summed loss over the chunk
+        n_in = 3 * S + 5 + (1 if counted else 0)
+        counts_hbm = refs[3 * S + 5] if counted else None
+        out_state = refs[n_in:n_in + S]
+        out_m = refs[n_in + S:n_in + 2 * S]
+        out_v = refs[n_in + 2 * S:n_in + 3 * S]
+        out_loss = refs[n_in + 3 * S]       # [1, 1] last-iteration loss
+        out_loss_sum = refs[n_in + 3 * S + 1]  # [1, 1] chunk loss sum
+        if counted:
+            counts_scr = refs[n_in + 3 * S + 2]
+            dma_sem = refs[n_in + 3 * S + 3]
 
         x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
         y_nm = y_ref[...]     # [M, 1]
@@ -190,6 +203,19 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
         def body(i, carry):
             st_l, m_l, v_l, _, loss_sum = carry
             st = dict(zip(names, st_l))
+
+            if counted:
+                # stream this step's task-draw counts HBM -> VMEM
+                dma = pltpu.make_async_copy(counts_hbm.at[i], counts_scr,
+                                            dma_sem)
+                dma.start()
+                dma.wait()
+                c_t = counts_scr[0:T, 0:1]              # [T, 1]
+                # never-sampled tasks contribute EXACTLY 0 (0 * NaN guard,
+                # same rationale as the learner's masked weighting)
+                w_i = jnp.where(c_t > 0, w_t * c_t, 0.0)
+            else:
+                w_i = w_t
 
             # ---------------- forward ----------------
             m_acts = hidden_forward(st, "m", n_mh)
@@ -260,15 +286,15 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
                 quad_logdet = term if quad_logdet is None \
                     else quad_logdet + term
             n_eff_t = jnp.where(w_t > 0, 1.0 / jnp.maximum(w_t, 1e-30), 0.0)
-            ll_t = -0.5 * w_t * (quad_logdet + n_eff_t * _LOG_2PI)
+            ll_t = -0.5 * w_i * (quad_logdet + n_eff_t * _LOG_2PI)
             loss = -jnp.sum(ll_t, axis=0, keepdims=True)  # [1, 1]
 
             # ---------------- backward (d(sum_t ll_t)/d·) ----------------
             dmu_rows = []
             dn_acc = None
             for i2 in range(N):
-                dmu_rows.append(w_t * alpha[i2] * m_e[i2])
-                g_ii = 0.5 * w_t * (alpha[i2] * alpha[i2] - Kinv[(i2, i2)])
+                dmu_rows.append(w_i * alpha[i2] * m_e[i2])
+                g_ii = 0.5 * w_i * (alpha[i2] * alpha[i2] - Kinv[(i2, i2)])
                 term = g_ii * m_e[i2]
                 dn_acc = term if dn_acc is None else dn_acc + term
 
@@ -278,7 +304,7 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
             for i2 in range(N):
                 acc = None
                 for j2 in range(N):
-                    g_ij = 0.5 * w_t * (alpha[i2] * alpha[j2]
+                    g_ij = 0.5 * w_i * (alpha[i2] * alpha[j2]
                                         - Kinv[(i2, j2)])
                     dkm = g_ij * m_e[i2] * m_e[j2]                # [T, 1]
                     if j2 <= i2:  # d(os): each unordered pair once
@@ -351,30 +377,41 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
 def fused_map_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm, w_t,
                            step0, *, T, N, D, F, mean_hidden, kernel_hidden,
                            lr, weight_decay, noise_floor, n_steps,
-                           interpret=False):
-    """Run n_steps MAP iterations in one kernel launch on packed state."""
+                           counts_pages=None, interpret=False):
+    """Run n_steps MAP iterations in one kernel launch on packed state.
+
+    counts_pages [n_steps, Tpad8, 128] (counts in lane 0) switches on the
+    count-weighted sampled-task-batch mode."""
     names = state_names(mean_hidden, kernel_hidden)
+    counted = counts_pages is not None
     kernel = _make_kernel(
         T=T, N=N, D=D, F=F, mean_hidden=tuple(mean_hidden),
         kernel_hidden=tuple(kernel_hidden), lr=lr, weight_decay=weight_decay,
-        noise_floor=noise_floor, n_steps=n_steps)
+        noise_floor=noise_floor, n_steps=n_steps, counted=counted)
     state_in = [packed[nm] for nm in names]
     m_in = [m_packed[nm] for nm in names]
     v_in = [v_packed[nm] for nm in names]
     others = [x, y_nm, mask_nm, w_t,
               jnp.asarray(step0, jnp.float32).reshape(1, 1)]
     all_in = state_in + m_in + v_in + others
+    if counted:
+        all_in = all_in + [counts_pages]
     S = len(names)
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
                    for t in state_in + m_in + v_in]
                   + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
+    t_pad = -(-T // 8) * 8
+    scratch = ([pltpu.VMEM((t_pad, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(())] if counted else [])
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 4)
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if counted else []),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 2),
         input_output_aliases={i: i for i in range(3 * S)},
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -387,11 +424,19 @@ def fused_map_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm, w_t,
 
 
 class FusedMAPTrainer:
-    """Host-side driver: pack state once, run chunks, unpack on demand."""
+    """Host-side driver: pack state once, run chunks, unpack on demand.
+
+    task_batch_size < T (with base_key) switches on the count-weighted
+    sampled-batch mode: per-step task draws are generated host-side with
+    the XLA step's exact fold_in + randint discipline and streamed to the
+    kernel as count pages, so both paths follow the SAME random
+    trajectory (learner analog: algos/pacoh_map.py _weight_by_counts)."""
+
+    MAX_LAUNCH = 512  # bounds the streamed count-page buffer per launch
 
     def __init__(self, params, X, Y, mask, *, feature_dim, mean_hidden,
                  kernel_hidden, lr, weight_decay, noise_floor=1e-3,
-                 interpret=False):
+                 task_batch_size=None, base_key=None, interpret=False):
         import numpy as np
 
         self.T, self.N, self.D = int(X.shape[0]), int(X.shape[1]), int(X.shape[2])
@@ -426,7 +471,45 @@ class FusedMAPTrainer:
         self.mask_nm = jnp.transpose(mask, (1, 0)).reshape(
             self.N * self.T, 1).astype(jnp.float32)
 
+        self.counted = (task_batch_size is not None
+                        and int(task_batch_size) != self.T)
+        self.base_key = base_key
+        if self.counted:
+            assert base_key is not None
+            b_n, t_n = int(task_batch_size), self.T
+            t_pad = -(-t_n // 8) * 8
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def make_counts(base_key, start_step, n_steps):
+                steps = start_step + jnp.arange(n_steps)
+
+                def one(i):
+                    key = jax.random.fold_in(base_key, i)
+                    idx = jax.random.randint(key, (b_n,), 0, t_n)
+                    counts = jnp.sum(
+                        jax.nn.one_hot(idx, t_n, dtype=jnp.float32), axis=0)
+                    page = jnp.zeros((t_pad, 128), jnp.float32)
+                    return jax.lax.dynamic_update_slice(
+                        page, counts.reshape(t_n, 1), (0, 0))
+
+                return jax.vmap(one)(steps)
+
+            self._make_counts = make_counts
+
     def run(self, n_steps, step0):
+        if not self.counted:
+            self._run_one(n_steps, step0)
+            return
+        n_steps, step0 = int(n_steps), int(step0)
+        done = 0
+        while done < n_steps:
+            sub = min(self.MAX_LAUNCH, n_steps - done)
+            self._run_one(sub, step0 + done)
+            done += sub
+
+    def _run_one(self, n_steps, step0):
+        pages = (self._make_counts(self.base_key, int(step0), int(n_steps))
+                 if self.counted else None)
         (self.packed, self.m, self.v, self.last_loss,
          self.avg_loss) = fused_map_train_packed(
             self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
@@ -434,7 +517,7 @@ class FusedMAPTrainer:
             mean_hidden=self.mean_hidden, kernel_hidden=self.kernel_hidden,
             lr=self.lr, weight_decay=self.weight_decay,
             noise_floor=self.noise_floor, n_steps=int(n_steps),
-            interpret=self.interpret)
+            counts_pages=pages, interpret=self.interpret)
 
     def sync(self):
         """(params, adam_mu, adam_nu) pytrees, one dispatch."""

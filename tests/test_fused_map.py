@@ -199,3 +199,55 @@ def test_weighted_count_task_batching_matches_gather(monkeypatch):
                          jax.tree.leaves(_drop_degenerate(m_gather.params))):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=0, atol=3e-4)
+
+
+def _build_counted(seed=7, n_iter=20):
+    env = SinusoidDataset(random_state=np.random.RandomState(3))
+    mt = env.generate_meta_train_data(n_tasks=6, n_samples=5)
+    return GPRegressionMetaLearned(
+        mt, num_iter_fit=n_iter, random_seed=seed, weight_decay=WD,
+        lr_params=LR, feature_dim=FDIM, task_batch_size=3,
+        mean_nn_layers=HIDDEN, kernel_nn_layers=HIDDEN,
+    )
+
+
+def test_fused_counted_batching_matches_xla_trajectory(monkeypatch):
+    """Sampled task batches through the fused kernel == the XLA
+    count-weighted step on the SAME fold_in/randint draws. Step-1 loss is
+    exact (1e-7); the trajectory drifts only at Adam-amplified f32 scale."""
+    monkeypatch.setenv("PACOH_TPU_MAP_WEIGHTED", "1")
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    m_f = _build_counted()
+    assert m_f._fused_path_ok(), "counted configs must hit the fused window"
+    assert m_f._weight_by_counts()
+    m_f.meta_fit(verbose=False, log_period=20, n_iter=20)
+
+    monkeypatch.setenv("PACOH_TPU_DISABLE_PALLAS", "1")
+    m_x = _build_counted()
+    assert not m_x._fused_path_ok()
+    m_x.meta_fit(verbose=False, log_period=20, n_iter=20)
+    monkeypatch.delenv("PACOH_TPU_DISABLE_PALLAS")
+
+    for got, want in zip(jax.tree.leaves(_drop_degenerate(m_f.params)),
+                         jax.tree.leaves(_drop_degenerate(m_x.params))):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=2e-2)
+
+    # chunking determinism through the counted fused path: 2x10 == 1x20
+    m_c = _build_counted()
+    m_c.meta_fit(verbose=False, log_period=10, n_iter=20)
+    for got, want in zip(jax.tree.leaves(m_c.params),
+                         jax.tree.leaves(m_f.params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_counted_gate(monkeypatch):
+    """Gather-mode (PACOH_TPU_MAP_WEIGHTED=0) keeps the XLA path; the
+    counted window requires the weighted estimator."""
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    monkeypatch.setenv("PACOH_TPU_MAP_WEIGHTED", "0")
+    m = _build_counted()
+    assert not m._fused_path_ok()
+    monkeypatch.setenv("PACOH_TPU_MAP_WEIGHTED", "1")
+    m2 = _build_counted()
+    assert m2._fused_path_ok()
