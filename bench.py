@@ -107,25 +107,34 @@ def main():
             meta_train, num_iter_fit=2000, random_seed=1,
             covar_module="NN", mean_module="NN", meta_kl_weight=1e-3),
     }
+    # Swissfel-shaped workload (T=5 tasks, N=200 points): training rides
+    # the blocked Pallas Cholesky/MLL tier (49<=N<=512) inside the XLA
+    # scan — the file-backed regime the fused N<=8 kernels don't cover
+    env_big = SinusoidDataset(random_state=np.random.RandomState(5))
+    big_train = env_big.generate_meta_train_data(n_tasks=5, n_samples=200)
+    algos["map_t5_n200"] = lambda: GPRegressionMetaLearned(
+        big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
+
     mlap_model = None
     for name, build in algos.items():
         model = build()
         if name == "mlap":
             mlap_model = model
-        # warm with the SAME chunk length; time a 5000-iter chunk so the
+        n_time = 500 if name == "map_t5_n200" else 5000
+        # warm with the SAME chunk length; time a full chunk so the
         # per-dispatch tunnel latency amortizes out of the per-iter number
-        model.meta_fit(verbose=False, log_period=5000, n_iter=5000)
+        model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
         state = model.particles if name == "svgd" else (
             model.params if name != "vi" else model.posterior)
         leaf = jax.tree.leaves(state)[0]
         float(jnp.asarray(leaf).ravel()[0])  # readback fence
         t0 = time.time()
-        model.meta_fit(verbose=False, log_period=5000, n_iter=5000)
+        model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
         leaf = jax.tree.leaves(
             model.particles if name == "svgd" else (
                 model.params if name != "vi" else model.posterior))[0]
         float(jnp.asarray(leaf).ravel()[0])
-        per_iter_ms[name] = round((time.time() - t0) / 5.0, 4)
+        per_iter_ms[name] = round((time.time() - t0) / n_time * 1000.0, 4)
 
     # MLAP meta-test: 3000-step inner Adam for 5 tasks (fused Pallas
     # inference kernel on TPU; one vmapped scan on the XLA path). Warm-up

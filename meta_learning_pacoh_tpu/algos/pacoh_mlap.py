@@ -621,6 +621,8 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             ck = (Xc.shape[0], Xc.shape[1], int(n_iter), float(lr))
             mt = cache.get(ck)
             if mt is None:
+                if len(cache) >= 8:  # bound pathological n_iter churn
+                    cache.pop(next(iter(cache)))
                 mt = cache[ck] = FusedMLAPMetaTest(
                     self.hyper_prior, params, Xc, Yc, Mc,
                     hidden=tuple(self.cfg.mean_nn_layers), lr=lr,

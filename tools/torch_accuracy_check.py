@@ -1,4 +1,4 @@
-"""Torch-side ACCURACY anchors for PACOH-SVGD and PACOH-VI.
+"""Torch-side ACCURACY anchors for PACOH-SVGD, PACOH-VI and PACOH-MLAP.
 
 Round-2 VERDICT missing #1 / weak #7: the torch cross-check covered MAP
 only — SVGD/VI had no torch-side training numbers, so the headline SVGD
@@ -24,9 +24,17 @@ equal-weight mixture of per-particle GP predictives; joint mixture LL =
 (logsumexp_k MVN_k - log K)/n in original units; RMSE of the mixture mean
 (reference meta_learn/models.py:121-126).
 
+MLAP (reference meta_learn/GPR_meta_mlap.py:299-435): diag Gaussian
+  hyper-posterior + per-task full-cov variational q_t + global noise on
+  the nested two-level PAC-Bayes bound; meta-test re-optimizes q on the
+  context (3000 Adam steps) and predicts through the aggregated-prior
+  SVGP formula. Eval is the single-Gaussian joint LL (gp_eval_metrics),
+  matching the JAX learner.
+
 Usage:
   python tools/torch_accuracy_check.py --algo svgd --n_iter 10000 --seeds 30,31
   python tools/torch_accuracy_check.py --algo vi   --n_iter 10000
+  python tools/torch_accuracy_check.py --algo mlap --n_iter 10000
 """
 
 import argparse
@@ -191,9 +199,18 @@ def _build_core(meta_train_data, feature_dim=1, layers=(32, 32),
                     ((mean_o.mean(0) - yt) ** 2).mean())))
         return float(np.mean(lls)), float(np.mean(rmses))
 
+    def norm_x(x):
+        return ((np.atleast_2d(x.reshape(len(x), -1)) - x_mean)
+                / x_std).astype(np.float32)
+
+    def norm_y(y):
+        return ((np.ravel(y) - y_mean) / y_std).astype(np.float32)
+
     return dict(torch=torch, P=P, blocks=blocks, task_mlls=task_mlls,
                 hyper_prior_log_prob=hyper_prior_log_prob, pre=pre,
-                eval_mixture=eval_mixture)
+                eval_mixture=eval_mixture, unpack_nets=unpack, mlp=mlp,
+                Xt=Xt, Yt=Yt, norm_x=norm_x, norm_y=norm_y,
+                y_mean=y_mean, y_std=y_std)
 
 
 def torch_svgd_train_eval(meta_train, meta_test, seed=30, n_iter=10000,
@@ -267,9 +284,228 @@ def torch_vi_train_eval(meta_train, meta_test, seed=30, n_iter=10000,
     return ll, rmse, train_s
 
 
+def torch_mlap_train_eval(meta_train, meta_test, seed=30, n_iter=10000,
+                          svi_batch_size=5, task_kl_weight=1.0,
+                          meta_kl_weight=1e-3, delta=0.1, lr=1e-3,
+                          n_iter_meta_test=3000, lr_meta_test=1e-2,
+                          n_agg=20):
+    """Reference PACOH-MLAP re-implemented in plain torch (nested two-level
+    PAC-Bayes bound, GPR_meta_mlap.py:299-370): diag Gaussian
+    hyper-posterior over the NN/NN prior parameters, one full-covariance
+    variational Gaussian q_t per task, global likelihood noise; meta-test =
+    per-task q optimization on the frozen hyper-posterior followed by the
+    aggregated-prior SVGP predictive (GPR_meta_mlap.py:372-435)."""
+    core = _build_core(meta_train)
+    torch = core["torch"]
+    torch.manual_seed(seed)
+    torch.set_num_threads(4)
+    S, P = svi_batch_size, core["P"]
+    T = len(meta_train)
+    N = meta_train[0][0].shape[0]
+    tkw, mkw = task_kl_weight, meta_kl_weight
+
+    g = torch.Generator().manual_seed(seed)
+    loc = (0.1 * torch.empty(P).normal_(generator=g)).requires_grad_(True)
+    log_scale = (math.log(0.1)
+                 + 0.1 * torch.empty(P).normal_(generator=g)
+                 ).requires_grad_(True)
+    raw_noise = torch.tensor(
+        math.log(math.expm1(0.01 - 1e-4)), requires_grad=True)
+
+    nets_of = core["unpack_nets"]
+
+    def prior_mean_cov(theta, x):
+        """Per-sample GP prior at x [n, d]: means [S', n], covs [S', n, n]
+        (RandomGP NN/NN flavor: tanh MLP mean, RBF over MLP features)."""
+        k = theta.shape[0]
+        nets, ls_raw, _ = nets_of(theta)
+        xk = x[None].expand(k, x.shape[0], x.shape[1])
+        mean = core["mlp"](nets["mean"], xk)[..., 0]
+        phi = core["mlp"](nets["kernel"], xk)
+        z = phi / torch.nn.functional.softplus(ls_raw)[:, None, :]
+        d2 = (z.unsqueeze(-2) - z.unsqueeze(-3)).pow(2).sum(-1)
+        return mean, torch.exp(-0.5 * d2)
+
+    def kl_q_prior(qm, qt, pm, pc):
+        """KL(N(qm, qt qt^T) || N(pm, pc + 1e-6 I)) batched over leading
+        dims (ops/variational.gaussian_kl_chol semantics)."""
+        n = qm.shape[-1]
+        K1 = pc + 1e-6 * torch.eye(n)
+        L1 = torch.linalg.cholesky(K1)
+        Lq = torch.tril(qt)
+        Minv = torch.linalg.solve_triangular(L1, Lq, upper=False)
+        tr = Minv.pow(2).sum((-2, -1))
+        d = (pm - qm).unsqueeze(-1)
+        zd = torch.linalg.solve_triangular(L1, d, upper=False)[..., 0]
+        quad = zd.pow(2).sum(-1)
+        ld1 = 2.0 * torch.log(
+            torch.diagonal(L1, dim1=-2, dim2=-1)).sum(-1)
+        ld0 = 2.0 * torch.log(torch.abs(
+            torch.diagonal(Lq, dim1=-2, dim2=-1)) + 1e-12).sum(-1)
+        return 0.5 * (tr + quad - n + ld1 - ld0)
+
+    def hyper_kl():
+        kl = 0.0
+        for sl, p_loc, p_std in core["blocks"]:
+            lq, sq = loc[sl], torch.exp(log_scale[sl])
+            kl = kl + (math.log(p_std) - log_scale[sl]
+                       + (sq.pow(2) + (lq - p_loc).pow(2))
+                       / (2.0 * p_std ** 2) - 0.5).sum()
+        return kl
+
+    Xt, Yt = core["Xt"], core["Yt"]
+
+    def init_q(hloc, hlsc, x, gen):
+        """q init at the aggregated prior (algos/pacoh_mlap.py:202-216)."""
+        with torch.no_grad():
+            eps = torch.empty(n_agg, P).normal_(generator=gen)
+            theta = hloc[None] + torch.exp(hlsc)[None] * eps
+            means, covs = prior_mean_cov(theta, x)
+            m = means.mean(0)
+            resid = means - m
+            cov = (covs.mean(0) + (resid.unsqueeze(-1)
+                                   * resid.unsqueeze(-2)).mean(0)
+                   + 1e-5 * torch.eye(x.shape[0]))
+            qm = m + 1e-3 * torch.empty_like(m).normal_(generator=gen)
+            qt = torch.linalg.cholesky(cov + 1e-3 * torch.eye(x.shape[0]))
+        return qm, qt, theta, m, cov
+
+    def task_bounds(qm_all, qt_all, x_all, y_all, theta, noise_var,
+                    kl_outer, n_tasks_bound):
+        """[T', N] data -> per-task bound vector (algos _task_bound)."""
+        n = x_all.shape[1]
+        Leff = torch.tril(qt_all)
+        f_var = Leff.pow(2).sum(-1)
+        lp = -0.5 * (((y_all - qm_all).pow(2) + f_var) / noise_var
+                     + torch.log(noise_var) + math.log(2 * math.pi))
+        avg_ll = lp.mean(-1)
+        t_n = x_all.shape[0]
+        s_n = theta.shape[0]
+        pm = torch.empty(s_n, t_n, n)
+        pc = torch.empty(s_n, t_n, n, n)
+        for t_i in range(t_n):
+            m_s, c_s = prior_mean_cov(theta, x_all[t_i])
+            pm[:, t_i], pc[:, t_i] = m_s, c_s
+        kl = kl_q_prior(qm_all[None].expand(s_n, t_n, n),
+                        torch.tril(qt_all)[None].expand(s_n, t_n, n, n),
+                        pm, pc)                       # [S, T']
+        kl_inner = tkw * kl.mean(0)                   # [T']
+        c_t = (math.log(2.0) + math.log(n) + math.log(n_tasks_bound)
+               - math.log(delta))
+        complexity = torch.sqrt((kl_outer + kl_inner + c_t)
+                                / (2.0 * (n - 1.0)))
+        return -avg_ll + complexity
+
+    # ---- meta-train (full task batch)
+    q_means, q_trils = [], []
+    for t_i in range(T):
+        qm, qt, _, _, _ = init_q(loc.detach(), log_scale.detach(),
+                                 Xt[t_i], g)
+        q_means.append(qm)
+        q_trils.append(qt)
+    q_means = torch.stack(q_means).requires_grad_(True)
+    q_trils = torch.stack(q_trils).requires_grad_(True)
+    opt = torch.optim.Adam([loc, log_scale, raw_noise, q_means, q_trils],
+                           lr=lr)
+
+    t0 = time.time()
+    for _ in range(n_iter):
+        opt.zero_grad()
+        eps = torch.randn(S, P)
+        theta = loc[None] + torch.exp(log_scale)[None] * eps
+        kl_outer = mkw * hyper_kl()
+        noise_var = torch.nn.functional.softplus(raw_noise) + 1e-4
+        bounds = task_bounds(q_means, q_trils, Xt, Yt, theta, noise_var,
+                             kl_outer, float(T))
+        meta_c = torch.sqrt(
+            (kl_outer + math.log(2.0) + math.log(float(T))
+             - math.log(delta)) / (2.0 * (T - 1.0)))
+        loss = bounds.mean() + meta_c
+        loss.backward()
+        opt.step()
+    train_s = time.time() - t0
+
+    # ---- meta-test + aggregated-prior SVGP eval
+    loc_f, lsc_f = loc.detach(), log_scale.detach()
+    noise_var = float(torch.nn.functional.softplus(raw_noise).detach() + 1e-4)
+    with torch.no_grad():
+        kl_outer_f = float(mkw * hyper_kl())
+    lls, rmses = [], []
+    for (cx, cy, tx, ty) in meta_test:
+        xcn = torch.as_tensor(core["norm_x"](cx))
+        xtn = torch.as_tensor(core["norm_x"](tx))
+        ycn = torch.as_tensor(core["norm_y"](cy))
+        yt = np.ravel(ty).astype(np.float32)
+        nc = xcn.shape[0]
+        qm, qt, theta_agg, pm_agg_c, pc_agg_c = init_q(loc_f, lsc_f, xcn, g)
+        qm = qm.requires_grad_(True)
+        qt = qt.requires_grad_(True)
+        opt_q = torch.optim.Adam([qm, qt], lr=lr_meta_test)
+        for _ in range(n_iter_meta_test):
+            opt_q.zero_grad()
+            eps = torch.randn(S, P)
+            theta = loc_f[None] + torch.exp(lsc_f)[None] * eps
+            b = task_bounds(qm[None], qt[None], xcn[None],
+                            ycn[None], theta,
+                            torch.tensor(noise_var),
+                            torch.tensor(kl_outer_f), float(T))
+            b.sum().backward()
+            opt_q.step()
+        with torch.no_grad():
+            # aggregated prior over [context; test] (same theta_agg draw
+            # style; fresh n_agg samples like _meta_test_inference)
+            eps = torch.empty(n_agg, P).normal_(generator=g)
+            theta = loc_f[None] + torch.exp(lsc_f)[None] * eps
+            x_all = torch.cat([xcn, xtn], 0)
+            means, covs = prior_mean_cov(theta, x_all)
+            m_all = means.mean(0)
+            resid = means - m_all
+            c_all = (covs.mean(0)
+                     + (resid.unsqueeze(-1) * resid.unsqueeze(-2)).mean(0)
+                     + 1e-5 * torch.eye(x_all.shape[0]))
+            mean_c, mean_t = m_all[:nc], m_all[nc:]
+            K_cc = c_all[:nc, :nc] + 1e-6 * torch.eye(nc)
+            K_ct = c_all[:nc, nc:]
+            K_tt = c_all[nc:, nc:]
+            A = torch.linalg.solve(K_cc, K_ct)
+            post_m = mean_t + A.T @ (qm.detach() - mean_c)
+            Lq = torch.tril(qt.detach())
+            SA = Lq.T @ A
+            Lc = torch.linalg.cholesky(K_cc)
+            V = torch.linalg.solve_triangular(Lc, K_ct, upper=False)
+            post_c = K_tt - V.T @ V + SA.T @ SA + noise_var * torch.eye(
+                K_tt.shape[0])
+            mean_o = core["y_mean"] + core["y_std"] * post_m
+            cov_o = (core["y_std"] ** 2) * post_c
+            L = torch.linalg.cholesky(
+                cov_o + 1e-6 * torch.eye(cov_o.shape[0]))
+            r = torch.as_tensor(yt) - mean_o
+            zr = torch.linalg.solve_triangular(
+                L, r[:, None], upper=False)[:, 0]
+            ld = 2.0 * torch.log(torch.diag(L)).sum()
+            nt = len(yt)
+            lls.append(float(-0.5 * (zr.pow(2).sum() + ld
+                                     + nt * math.log(2 * math.pi)) / nt))
+            rmses.append(float(torch.sqrt((mean_o
+                                           - torch.as_tensor(yt)).pow(2)
+                                          .mean())))
+    return float(np.mean(lls)), float(np.mean(rmses)), train_s
+
+
 def jax_train_eval(algo, meta_train, meta_test, seed=30, n_iter=10000):
     if algo == "svgd":
         from meta_learning_pacoh_tpu import GPRegressionMetaLearnedSVGD as M
+    elif algo == "mlap":
+        from meta_learning_pacoh_tpu import GPRegressionMetaLearnedPAC
+
+        m = GPRegressionMetaLearnedPAC(
+            meta_train, num_iter_fit=n_iter, random_seed=seed,
+            covar_module="NN", mean_module="NN", meta_kl_weight=1e-3)
+        t0 = time.time()
+        m.meta_fit(verbose=False, log_period=min(n_iter, 5000))
+        train_s = time.time() - t0
+        ll, rmse, _ = m.eval_datasets(meta_test)
+        return float(ll), float(rmse), train_s
     else:
         from meta_learning_pacoh_tpu import GPRegressionMetaLearnedVI as M
     m = M(meta_train, num_iter_fit=n_iter, random_seed=seed,
@@ -283,7 +519,8 @@ def jax_train_eval(algo, meta_train, meta_test, seed=30, n_iter=10000):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--algo", choices=["svgd", "vi", "both"], default="both")
+    ap.add_argument("--algo", choices=["svgd", "vi", "mlap", "both", "all"],
+                    default="both")
     ap.add_argument("--n_iter", type=int, default=10000)
     ap.add_argument("--seeds", type=str, default="30,31,32")
     ap.add_argument("--skip_jax", action="store_true")
@@ -296,10 +533,12 @@ def main():
     meta_test = env.generate_meta_test_data(n_tasks=20, n_samples_context=5,
                                             n_samples_test=50)
 
-    algos = ["svgd", "vi"] if args.algo == "both" else [args.algo]
+    algos = {"both": ["svgd", "vi"],
+             "all": ["svgd", "vi", "mlap"]}.get(args.algo, [args.algo])
     print(f"sin_20 (data seed 26), {args.n_iter} iters")
     for algo in algos:
-        train = torch_svgd_train_eval if algo == "svgd" else torch_vi_train_eval
+        train = {"svgd": torch_svgd_train_eval, "vi": torch_vi_train_eval,
+                 "mlap": torch_mlap_train_eval}[algo]
         for seed in (int(s) for s in args.seeds.split(",")):
             ll_t, rmse_t, s_t = train(meta_train, meta_test, seed=seed,
                                       n_iter=args.n_iter)
