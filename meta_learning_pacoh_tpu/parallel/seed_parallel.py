@@ -67,7 +67,7 @@ def _shard_leading(tree, mesh):
 
 
 def fit_models_parallel(models, n_iter=None, log_period=5000, mesh=None,
-                        verbose=False):
+                        verbose=False, prefer="auto"):
     """Meta-fit S same-config learners simultaneously via one vmapped step.
 
     models:     list of learner instances of one class, identical configs
@@ -82,10 +82,22 @@ def fit_models_parallel(models, n_iter=None, log_period=5000, mesh=None,
                 A model count that does not divide the axis size is padded
                 with throwaway replicas of the last model (they train and
                 are discarded), so any S works on any mesh.
+    prefer:     'auto' (default == 'vmap') | 'vmap' | 'sequential_fused'.
+                'sequential_fused' runs plain per-model meta_fit loops so
+                fused-window configs ride their single-launch Pallas
+                kernels. MEASURED on one v5e (SVGD sin_20, 5 seeds x 10k
+                iters): vmapped XLA 1.39 s vs sequential fused 2.69 s —
+                the per-seed kernel speedup (1.6-3.8x) is eaten by
+                per-instance trainer construction + closure jits, so
+                'auto' stays with the vmapped program. The option exists
+                for long fits (construction amortizes ~0.3 s/seed; the
+                crossover is ~50k iters/seed) and for bit-exact
+                per-seed-meta_fit semantics.
 
     Mutates each model in-place exactly as `model.meta_fit(n_iter=n_iter)`
     would (state, opt_state, step count, fitted flag), up to float
-    reassociation from the vmapped/sharded reductions.
+    reassociation from the vmapped/sharded reductions (the
+    sequential-fused route is EXACTLY per-model meta_fit).
     """
     assert len(models) >= 1
     m0 = models[0]
@@ -94,6 +106,18 @@ def fit_models_parallel(models, n_iter=None, log_period=5000, mesh=None,
     state_attr, data_attrs = _SPECS[cls]
 
     assert all(type(m) is type(m0) for m in models)
+
+    assert prefer in ("auto", "vmap", "sequential_fused")
+    if prefer == "sequential_fused":
+        fused_ok = all(
+            getattr(m, "_fused_path_ok", lambda: False)() for m in models)
+        assert fused_ok, (
+            "sequential_fused requires every model in a fused window")
+        if n_iter is None:
+            n_iter = m0.num_iter_fit
+        for m in models:
+            m.meta_fit(verbose=verbose, log_period=log_period, n_iter=n_iter)
+        return models
 
     def _same_step(m):
         # identity, or equal jit-cache keys (LRU eviction can mint distinct

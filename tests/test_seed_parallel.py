@@ -264,3 +264,37 @@ class TestSeedMesh:
                                     lr_params=3e-4)
         with pytest.raises(AssertionError):
             fit_models_parallel([a, b], n_iter=10)
+
+
+def test_sequential_fused_route_matches_meta_fit(monkeypatch):
+    """prefer='sequential_fused' is literally per-model meta_fit: results
+    must be BIT-identical to fitting each model individually."""
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    import numpy as np
+    import jax
+    from meta_learning_pacoh_tpu import GPRegressionMetaLearnedSVGD
+    from meta_learning_pacoh_tpu.datasets import SinusoidDataset
+    from meta_learning_pacoh_tpu.parallel.seed_parallel import (
+        fit_models_parallel,
+    )
+
+    env = SinusoidDataset(random_state=np.random.RandomState(26))
+    train = env.generate_meta_train_data(n_tasks=4, n_samples=5)
+
+    def group():
+        return [GPRegressionMetaLearnedSVGD(
+            train, num_iter_fit=10, random_seed=s, num_particles=3,
+            mean_nn_layers=(8, 8), kernel_nn_layers=(8, 8))
+            for s in (0, 1)]
+
+    ms = group()
+    assert all(m._fused_path_ok() for m in ms)
+    fit_models_parallel(ms, n_iter=10, prefer="sequential_fused")
+
+    for s, m_par in zip((0, 1), ms):
+        m_solo = GPRegressionMetaLearnedSVGD(
+            train, num_iter_fit=10, random_seed=s, num_particles=3,
+            mean_nn_layers=(8, 8), kernel_nn_layers=(8, 8))
+        m_solo.meta_fit(verbose=False, log_period=10)
+        np.testing.assert_array_equal(
+            np.asarray(m_par.particles), np.asarray(m_solo.particles))
