@@ -122,7 +122,7 @@ def unpack_state(packed, mean_hidden, kernel_hidden):
 # ------------------------------------------------------------- kernel body
 
 
-def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
+def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden,
                  noise_floor, n_steps, counted=False, b1=0.9, b2=0.999,
                  eps=1e-8):
     """counted=True streams a per-step [T] task-draw count page and weights
@@ -139,7 +139,7 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
         state_refs = refs[:S]
         m_refs = refs[S:2 * S]
         v_refs = refs[2 * S:3 * S]
-        x_ref, y_ref, mask_ref, w_ref, step0_ref = refs[3 * S:3 * S + 5]
+        x_ref, y_ref, mask_ref, w_ref, scal_ref = refs[3 * S:3 * S + 5]
         n_in = 3 * S + 5 + (1 if counted else 0)
         counts_hbm = refs[3 * S + 5] if counted else None
         out_state = refs[n_in:n_in + S]
@@ -155,7 +155,12 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
         y_nm = y_ref[...]     # [M, 1]
         msk = mask_ref[...]   # [M, 1]
         w_t = w_ref[...]      # [T, 1]  1/n_eff (0 for empty tasks)
-        step0 = step0_ref[0, 0]
+        # runtime scalars (SMEM): step0, lr, weight_decay — lr and the
+        # decay are TRACED so hyperparameter sweeps share ONE compiled
+        # kernel instead of paying a Mosaic recompile per trial
+        step0 = scal_ref[0, 0]
+        lr = scal_ref[0, 1]
+        weight_decay = scal_ref[0, 2]
         ones_m = jnp.ones((1, M), jnp.float32)
 
         def _adamw_update(g, st_l, m_l, v_l, i):
@@ -372,7 +377,7 @@ def _make_kernel(*, T, N, D, F, mean_hidden, kernel_hidden, lr, weight_decay,
 @functools.partial(
     jax.jit,
     static_argnames=("T", "N", "D", "F", "mean_hidden", "kernel_hidden",
-                     "lr", "weight_decay", "noise_floor", "n_steps",
+                     "noise_floor", "n_steps",
                      "interpret"))
 def fused_map_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm, w_t,
                            step0, *, T, N, D, F, mean_hidden, kernel_hidden,
@@ -386,13 +391,16 @@ def fused_map_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm, w_t,
     counted = counts_pages is not None
     kernel = _make_kernel(
         T=T, N=N, D=D, F=F, mean_hidden=tuple(mean_hidden),
-        kernel_hidden=tuple(kernel_hidden), lr=lr, weight_decay=weight_decay,
+        kernel_hidden=tuple(kernel_hidden),
         noise_floor=noise_floor, n_steps=n_steps, counted=counted)
     state_in = [packed[nm] for nm in names]
     m_in = [m_packed[nm] for nm in names]
     v_in = [v_packed[nm] for nm in names]
-    others = [x, y_nm, mask_nm, w_t,
-              jnp.asarray(step0, jnp.float32).reshape(1, 1)]
+    scalars = jnp.stack([jnp.asarray(step0, jnp.float32),
+                         jnp.asarray(lr, jnp.float32),
+                         jnp.asarray(weight_decay, jnp.float32)]
+                        ).reshape(1, 3)
+    others = [x, y_nm, mask_nm, w_t, scalars]
     all_in = state_in + m_in + v_in + others
     if counted:
         all_in = all_in + [counts_pages]

@@ -117,8 +117,7 @@ def _page_d(hyper_prior, hidden):
 # ------------------------------------------------------------- kernel body
 
 
-def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
-                      task_kl_weight, meta_kl_weight, delta, p_dim,
+def _make_mlap_kernel(*, S, T, N, D, B, hidden, wps, bps, p_dim,
                       sum_log_sigma_p, n_steps, meta_test=False, b1=0.9,
                       b2=0.999, eps_adam=1e-8):
     """B = task minibatch size (counts sum); S = theta sample count.
@@ -142,8 +141,7 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
     net_fwd, net_bwd = make_net_fns(K=S, D=D, hidden=hidden)
     build_mats, sample_st, reduce_pair = make_lane_sample_ops(
         S=S, hidden=hidden, layout=layout)
-    tkw, mkw = task_kl_weight, meta_kl_weight
-    meta_ct = math.log(2.0) + math.log(float(T)) - math.log(delta)
+    log2_logT = math.log(2.0) + math.log(float(T))
     cm2 = 2.0 * (T - 1.0)
     # number of hyper-posterior state tensors followed by (qm, qt, nu)
     NP = 2 * NS + 3
@@ -154,7 +152,7 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
         v_refs = refs[2 * NP:3 * NP]
         x_ref, y_ref, mask_ref, neff_ref = refs[3 * NP:3 * NP + 4]
         pages_hbm = refs[3 * NP + 4]
-        step0_ref = refs[3 * NP + 5]
+        scal_ref = refs[3 * NP + 5]
         out_refs = refs[3 * NP + 6:6 * NP + 6]
         out_scalars = refs[6 * NP + 6:6 * NP + 11]
         page_scr = refs[6 * NP + 11]
@@ -164,7 +162,16 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
         y_nm = y_ref[...]     # [M, 1]
         msk = mask_ref[...]   # [M, 1]
         n_eff = neff_ref[...]  # [T, 1]
-        step0 = step0_ref[0, 0]
+        # runtime scalars (SMEM): everything a hyperparameter sweep varies
+        # is TRACED, so lr / kl-weight / delta sweeps share ONE compiled
+        # kernel per shape config
+        step0 = scal_ref[0, 0]
+        lr_main = scal_ref[0, 1]
+        lr_post = scal_ref[0, 2]
+        tkw = scal_ref[0, 3]
+        mkw = scal_ref[0, 4]
+        neg_log_delta = scal_ref[0, 5]
+        meta_ct = log2_logT + neg_log_delta
 
         mats = build_mats()
         sumL = _block_sum_mat(S, hidden[-1])
@@ -509,9 +516,9 @@ def _make_mlap_kernel(*, S, T, N, D, B, hidden, lr_main, lr_post, wps, bps,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "T", "N", "D", "B", "hidden", "lr_main", "lr_post",
-                     "wps", "bps", "task_kl_weight", "meta_kl_weight",
-                     "delta", "p_dim", "sum_log_sigma_p", "n_steps",
+    static_argnames=("S", "T", "N", "D", "B", "hidden",
+                     "wps", "bps",
+                     "p_dim", "sum_log_sigma_p", "n_steps",
                      "meta_test", "interpret"))
 def fused_mlap_train_packed(state_l, m_l, v_l, x, y_nm, mask_nm, n_eff,
                             pages, step0, *, S, T, N, D, B, hidden, lr_main,
@@ -524,15 +531,21 @@ def fused_mlap_train_packed(state_l, m_l, v_l, x, y_nm, mask_nm, n_eff,
     q_means, q_trils, raw_noise] in the kernel layouts.
     """
     kernel, r_pad, lanes = _make_mlap_kernel(
-        S=S, T=T, N=N, D=D, B=B, hidden=tuple(hidden), lr_main=lr_main,
-        lr_post=lr_post, wps=wps, bps=bps, task_kl_weight=task_kl_weight,
-        meta_kl_weight=meta_kl_weight, delta=delta, p_dim=p_dim,
+        S=S, T=T, N=N, D=D, B=B, hidden=tuple(hidden),
+        wps=wps, bps=bps, p_dim=p_dim,
         sum_log_sigma_p=sum_log_sigma_p, n_steps=n_steps,
         meta_test=meta_test)
     NP = len(state_l)
+    scalars = jnp.stack([
+        jnp.asarray(step0, jnp.float32),
+        jnp.asarray(lr_main, jnp.float32),
+        jnp.asarray(lr_post, jnp.float32),
+        jnp.asarray(task_kl_weight, jnp.float32),
+        jnp.asarray(meta_kl_weight, jnp.float32),
+        -jnp.log(jnp.asarray(delta, jnp.float32)),
+    ]).reshape(1, 6)
     all_in = (list(state_l) + list(m_l) + list(v_l)
-              + [x, y_nm, mask_nm, n_eff, pages,
-                 jnp.asarray(step0, jnp.float32).reshape(1, 1)])
+              + [x, y_nm, mask_nm, n_eff, pages, scalars])
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
                    for t in list(state_l) + list(m_l) + list(v_l)]
                   + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 5)

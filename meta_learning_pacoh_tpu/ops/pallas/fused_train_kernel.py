@@ -354,7 +354,10 @@ def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
     names = state_names(n_hidden)
     _net_fwd, _net_bwd = make_net_fns(K=K, D=D, hidden=hidden)
 
-    def score_fn(st, x, y_nm, msk, w_t, sumL, ones_m):
+    def score_fn(st, x, y_nm, msk, w_t, sumL, ones_m, pf=None):
+        # pf: traced prior-factor override (sweep-ready kernels pass the
+        # runtime SMEM scalar; None keeps the static bake-time value)
+        pf = prior_factor if pf is None else pf
         def net_forward(st, tag):
             return _net_fwd(st, tag, x, sumL)
 
@@ -478,7 +481,7 @@ def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
                 # hyper-prior term
                 for nm in names:
                     loc, scale = prior_ls[nm]
-                    score[nm] = score[nm] + prior_factor * (
+                    score[nm] = score[nm] + pf * (
                         -(st[nm] - loc) / (scale * scale))
 
             wql = None
@@ -497,7 +500,7 @@ def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
     return score_fn
 
 
-def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
+def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
                  n_steps, b1=0.9, b2=0.999, eps=1e-8,
                  ablate=()):
     """ablate: internal profiling knobs — subsets of
@@ -513,14 +516,14 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
     prior_ls = hyper_prior_loc_scale(n_hidden, wps, bps)
     H0, HL = hidden[0], hidden[-1]
     score_section = make_score_section(
-        K=K, T=T, N=N, D=D, hidden=hidden, prior_factor=prior_factor,
+        K=K, T=T, N=N, D=D, hidden=hidden, prior_factor=0.0,
         prior_ls=prior_ls, ablate=ablate)
 
     def kernel(*refs):
         state_refs = refs[:S]
         m_refs = refs[S:2 * S]
         v_refs = refs[2 * S:3 * S]
-        x_ref, y_ref, mask_ref, w_ref, step0_ref = refs[3 * S:3 * S + 5]
+        x_ref, y_ref, mask_ref, w_ref, scal_ref = refs[3 * S:3 * S + 5]
         out_state = refs[3 * S + 5:4 * S + 5]
         out_m = refs[4 * S + 5:5 * S + 5]
         out_v = refs[5 * S + 5:6 * S + 5]
@@ -529,7 +532,11 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
         y_nm = y_ref[...]     # [M, 1], same row order
         msk = mask_ref[...]   # [M, 1]
         w_t = w_ref[...]      # [T, 1]  pre / n_eff (0 for empty tasks)
-        step0 = step0_ref[0, 0]
+        # runtime scalars (SMEM): lr and prior_factor are TRACED so lr /
+        # prior-factor sweeps share ONE compiled kernel per shape config
+        step0 = scal_ref[0, 0]
+        lr = scal_ref[0, 1]
+        prior_factor = scal_ref[0, 2]
 
         # static helper matrices (built in-register from iota)
         sum0 = _block_sum_mat(K, H0)          # [K*H0, K]
@@ -562,7 +569,8 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
         def body(i, carry):
             st_l, m_l, v_l = carry
             st = dict(zip(names, st_l))
-            score, _ = score_section(st, x, y_nm, msk, w_t, sumL, ones_m)
+            score, _ = score_section(st, x, y_nm, msk, w_t, sumL, ones_m,
+                                     pf=prior_factor)
 
             # ---------------- Stein transport ----------------
             if "no_transport" in ablate:  # profiling only: phi := score
@@ -700,7 +708,7 @@ def _make_kernel(*, K, T, N, D, hidden, F, lr, prior_factor, wps, bps,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "T", "N", "D", "hidden", "lr", "prior_factor",
+    static_argnames=("K", "T", "N", "D", "hidden",
                      "wps", "bps", "n_steps", "interpret", "ablate"))
 def fused_svgd_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
                             w_t, step0, *, K, T, N, D, hidden, lr,
@@ -709,13 +717,16 @@ def fused_svgd_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
     """Run n_steps SVGD iterations in one kernel launch on packed state."""
     names = state_names(len(hidden))
     kernel = _make_kernel(K=K, T=T, N=N, D=D, hidden=tuple(hidden), F=1,
-                          lr=lr, prior_factor=prior_factor, wps=wps, bps=bps,
+                          wps=wps, bps=bps,
                           n_steps=n_steps, ablate=ablate)
     state_in = [packed[nm] for nm in names]
     m_in = [m_packed[nm] for nm in names]
     v_in = [v_packed[nm] for nm in names]
-    others = [x, y_nm, mask_nm, w_t,
-              jnp.asarray(step0, jnp.float32).reshape(1, 1)]
+    scalars = jnp.stack([jnp.asarray(step0, jnp.float32),
+                         jnp.asarray(lr, jnp.float32),
+                         jnp.asarray(prior_factor, jnp.float32)]
+                        ).reshape(1, 3)
+    others = [x, y_nm, mask_nm, w_t, scalars]
     all_in = state_in + m_in + v_in + others
     S = len(names)
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype) for t in state_in]

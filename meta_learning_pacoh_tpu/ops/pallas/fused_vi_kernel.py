@@ -217,7 +217,7 @@ def make_lane_sample_ops(*, S, hidden, layout):
 # ------------------------------------------------------------- kernel body
 
 
-def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
+def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
                     mll_const, lp_const, ent_const, n_steps,
                     b1=0.9, b2=0.999, eps_adam=1e-8):
     """S = svi sample count (the lane-block count of the score section)."""
@@ -230,7 +230,7 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
     layout, r_pad, lanes = eps_layout(hidden, D, S)
     eps_slices = {nm: (off, nr, nl) for nm, off, nr, nl in layout}
     score_section = make_score_section(
-        K=S, T=T, N=N, D=D, hidden=hidden, prior_factor=prior_factor,
+        K=S, T=T, N=N, D=D, hidden=hidden, prior_factor=0.0,
         prior_ls=prior_ls, want_wql=True)
     build_mats, sample_st, reduce_pair = make_lane_sample_ops(
         S=S, hidden=hidden, layout=layout)
@@ -254,7 +254,7 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
         mom_refs = refs[2 * NS:6 * NS]  # m_loc, m_lsc, v_loc, v_lsc
         x_ref, y_ref, mask_ref, w_ref = refs[6 * NS:6 * NS + 4]
         eps_hbm = refs[6 * NS + 4]
-        step0_ref = refs[6 * NS + 5]
+        scal_ref = refs[6 * NS + 5]
         out_refs = refs[6 * NS + 6:12 * NS + 6]
         out_loss = refs[12 * NS + 6]
         out_loss_sum = refs[12 * NS + 7]
@@ -265,7 +265,11 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
         y_nm = y_ref[...]     # [M, 1]
         msk = mask_ref[...]   # [M, 1]
         w_t = w_ref[...]      # [T, 1]  pre / n_eff (0 for empty tasks)
-        step0 = step0_ref[0, 0]
+        # runtime scalars (SMEM): lr and prior_factor are TRACED so lr /
+        # prior-factor sweeps share ONE compiled kernel per shape config
+        step0 = scal_ref[0, 0]
+        lr = scal_ref[0, 1]
+        prior_factor = scal_ref[0, 2]
 
         mats = build_mats()                   # loop-invariant helper mats
         bsumH = _block_sum_mat(S, H)          # [S*H, S]
@@ -308,7 +312,8 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
             st, eps_lane = sample_st(loc, scale, eps_of, mats)
 
             # ---- per-sample particle score (shared section, K = S) -----
-            score, wql = score_section(st, x, y_nm, msk, w_t, sumL, ones_m)
+            score, wql = score_section(st, x, y_nm, msk, w_t, sumL, ones_m,
+                                       pf=prior_factor)
 
             # ---- loss: neg-ELBO of this iteration ----------------------
             # prior log prob per sample: -(1/2) sum_p z^2 + static const
@@ -375,7 +380,7 @@ def _make_vi_kernel(*, S, T, N, D, hidden, lr, prior_factor, wps, bps,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "T", "N", "D", "hidden", "lr", "prior_factor",
+    static_argnames=("S", "T", "N", "D", "hidden",
                      "wps", "bps", "mll_const", "lp_const", "ent_const",
                      "n_steps", "interpret"))
 def fused_vi_train_packed(loc_p, lsc_p, m_loc, m_lsc, v_loc, v_lsc, x, y_nm,
@@ -385,14 +390,17 @@ def fused_vi_train_packed(loc_p, lsc_p, m_loc, m_lsc, v_loc, v_lsc, x, y_nm,
     """Run n_steps VI iterations in one kernel launch on packed state."""
     names = state_names(len(hidden))
     kernel, r_pad, lanes = _make_vi_kernel(
-        S=S, T=T, N=N, D=D, hidden=tuple(hidden), lr=lr,
-        prior_factor=prior_factor, wps=wps, bps=bps, mll_const=mll_const,
+        S=S, T=T, N=N, D=D, hidden=tuple(hidden),
+        wps=wps, bps=bps, mll_const=mll_const,
         lp_const=lp_const, ent_const=ent_const, n_steps=n_steps)
     state_in = ([loc_p[nm] for nm in names] + [lsc_p[nm] for nm in names]
                 + [m_loc[nm] for nm in names] + [m_lsc[nm] for nm in names]
                 + [v_loc[nm] for nm in names] + [v_lsc[nm] for nm in names])
-    others = [x, y_nm, mask_nm, w_t, eps_pages,
-              jnp.asarray(step0, jnp.float32).reshape(1, 1)]
+    scalars = jnp.stack([jnp.asarray(step0, jnp.float32),
+                         jnp.asarray(lr, jnp.float32),
+                         jnp.asarray(prior_factor, jnp.float32)]
+                        ).reshape(1, 3)
+    others = [x, y_nm, mask_nm, w_t, eps_pages, scalars]
     all_in = state_in + others
     NS = len(names)
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
