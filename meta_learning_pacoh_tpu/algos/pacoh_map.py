@@ -42,9 +42,16 @@ from meta_learning_pacoh_tpu.utils.jit_cache import shared
 
 def make_lr_schedule(lr, lr_decay):
     if lr_decay < 1.0:
-        # StepLR with step_size=1000 (reference: GPR_meta_mll.py:261-262)
+        # StepLR with step_size=1000 (reference: GPR_meta_mll.py:261-262).
+        # The transition constant lives in launch_sched so the fused kernels'
+        # staircase launch splitting stays in lockstep with the XLA schedule
+        # (tests shrink it to exercise boundary crossings cheaply).
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
         return optax.exponential_decay(
-            init_value=lr, transition_steps=1000, decay_rate=lr_decay, staircase=True
+            init_value=lr,
+            transition_steps=launch_sched.LR_TRANSITION_STEPS,
+            decay_rate=lr_decay, staircase=True,
         )
     return lr
 
@@ -130,8 +137,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self._train_key = self._next_key()
         # jit functions are memoized on their full static config so learner
         # instances with identical configs share XLA compile caches
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
         opt_key = (self.cfg, learning_mode, optimizer, lr_params, lr_decay,
-                   weight_decay)
+                   launch_sched.LR_TRANSITION_STEPS, weight_decay)
         self._setup_optimizer(optimizer, lr_params, lr_decay, opt_key)
         self._step_fn = shared(
             ("pacoh_map.step",) + opt_key
@@ -287,7 +296,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
 
         The MAP mega-kernel (ops/pallas/fused_map_kernel.py) covers: NN mean
         + NN kernel, learning_mode 'both', full task batch, Adam(W) with
-        constant lr, N within the unrolled-linalg window. Everything else
+        any lr_decay, N within the unrolled-linalg window. Everything else
         uses the general scan-fused XLA step.
         """
         from meta_learning_pacoh_tpu import config
@@ -307,7 +316,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             and (self.task_batch_size == self.n_tasks
                  or self._weight_by_counts())
             and self.learning_mode == "both"
-            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            # lr_decay < 1 (staircase StepLR) is handled host-side: launches
+            # are split at staircase boundaries and the per-launch lr rides
+            # the existing runtime scalar (ops/pallas/launch_sched.py)
+            and self._optimizer_name == "Adam"
             and cfg.mean_module == "NN" and cfg.covar_module == "NN"
             and cfg.feature_dim <= 8
             and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
@@ -328,7 +340,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                 feature_dim=self.cfg.feature_dim,
                 mean_hidden=self.cfg.mean_nn_layers,
                 kernel_hidden=self.cfg.kernel_nn_layers,
-                lr=self.lr_params, weight_decay=self.weight_decay,
+                lr=self.lr_params, lr_decay=self._lr_decay,
+                weight_decay=self.weight_decay,
                 noise_floor=self.cfg.noise_floor,
                 task_batch_size=self.task_batch_size,
                 base_key=self._train_key,
@@ -347,10 +360,15 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         self._fused_dirty = False
         self.params, mu, nu = self._fused.sync()
         train = self.opt_state.inner_states["train"]
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import bump_counts
+
         adam = train.inner_state[0]._replace(
             count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
         )
-        new_inner = (adam,) + tuple(train.inner_state[1:])
+        # with an lr schedule the chain carries a ScaleByScheduleState whose
+        # count feeds the schedule — stamp it too or a fused->XLA continuation
+        # resumes at the wrong lr
+        new_inner = (adam,) + bump_counts(train.inner_state[1:], total_steps)
         states = dict(self.opt_state.inner_states)
         states["train"] = train._replace(inner_state=new_inner)
         self.opt_state = self.opt_state._replace(inner_states=states)

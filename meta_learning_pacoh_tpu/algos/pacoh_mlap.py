@@ -152,7 +152,10 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         # jit functions are memoized on their full static config so learner
         # instances with identical configs share XLA compile caches
         hp_key = (self.cfg, weight_prior_std, bias_prior_std)
-        opt_key = (optimizer, lr, lr_decay, posterior_lr_multiplier, cov_type)
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
+        opt_key = (optimizer, lr, lr_decay, launch_sched.LR_TRANSITION_STEPS,
+                   posterior_lr_multiplier, cov_type)
         bound_key = (svi_batch_size, task_kl_weight, meta_kl_weight, delta)
         self._setup_optimizer(optimizer, lr, lr_decay, posterior_lr_multiplier,
                               opt_key)
@@ -365,7 +368,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
 
         The mega-kernel (ops/pallas/fused_mlap_kernel.py) covers the
         NN/NN flagship window: one shared hidden width, feature_dim 1,
-        diag hyper-posterior, constant-lr Adam, N within the
+        diag hyper-posterior, Adam (any lr_decay), N within the
         unrolled-linalg window. Everything else uses the general
         scan-fused XLA step.
         """
@@ -380,7 +383,9 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         )
         return (
             self._fused_window_ok(self.X.shape[1])
-            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            # lr_decay < 1: staircase-aligned launches, runtime lr scalars
+            # for both param groups (ops/pallas/launch_sched.py)
+            and self._optimizer_name == "Adam"
             and adam_ok
         )
 
@@ -414,7 +419,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
                 meta_kl_weight=self.meta_kl_weight, delta=self.delta,
                 weight_prior_std=self._weight_prior_std,
                 bias_prior_std=self._bias_prior_std,
-                base_key=self._train_key,
+                base_key=self._train_key, lr_decay=self._lr_decay,
                 interpret=config.pallas_interpret(),
             )
             if self._step_count > 0:  # resume: carry the live Adam moments
@@ -434,12 +439,16 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
                       for k in adam.mu}
             new_nu = {k: (nu[k] if k in keys else adam.nu[k])
                       for k in adam.nu}
+            from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+                bump_counts,
+            )
+
             new_adam = adam._replace(
                 count=jnp.asarray(total_steps, jnp.int32),
                 mu=new_mu, nu=new_nu)
             return masked_state._replace(
                 inner_state=(new_adam,)
-                + tuple(masked_state.inner_state[1:]))
+                + bump_counts(masked_state.inner_state[1:], total_steps))
 
         inner = dict(self.opt_state.inner_states)
         inner["main"] = set_group(inner["main"], {"hyper_post", "raw_noise"})

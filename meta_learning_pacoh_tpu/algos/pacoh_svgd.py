@@ -106,7 +106,9 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         # jit functions are memoized on their full static config so learner
         # instances with identical configs share XLA compile caches
         hp_key = (self.cfg, weight_prior_std, bias_prior_std)
-        opt_key = (optimizer, lr, lr_decay)
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
+        opt_key = (optimizer, lr, lr_decay, launch_sched.LR_TRANSITION_STEPS)
         self._opt = shared(("pacoh_svgd.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.particles)
 
@@ -176,7 +178,7 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         The mega-kernel (ops/pallas/fused_train_kernel.py) covers the
         flagship configuration: NN mean + NN kernel with one shared hidden
         width, feature_dim 1, full task batch, RBF median-heuristic SVGD,
-        constant-lr Adam, N within the unrolled-linalg window. Everything
+        Adam (any lr_decay), N within the unrolled-linalg window. Everything
         else uses the general scan-fused XLA step.
         """
         from meta_learning_pacoh_tpu import config
@@ -188,7 +190,9 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             and self._mesh is None
             and self.task_batch_size == self.n_tasks
             and self.svgd_kernel == "RBF" and self.bandwidth is None
-            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            # lr_decay < 1: staircase-aligned launches, runtime lr scalar
+            # (ops/pallas/launch_sched.py)
+            and self._optimizer_name == "Adam"
             and cfg.mean_module == "NN" and cfg.covar_module == "NN"
             and cfg.feature_dim == 1
             and hidden == tuple(cfg.kernel_nn_layers)
@@ -209,7 +213,8 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         if self._fused is None:
             self._fused = FusedSVGDTrainer(
                 self.hyper_prior, self.particles, self.X, self.Y, self.mask,
-                hidden=hidden, lr=self._lr, prior_factor=self.prior_factor,
+                hidden=hidden, lr=self._lr, lr_decay=self._lr_decay,
+                prior_factor=self.prior_factor,
                 weight_prior_std=self._weight_prior_std,
                 bias_prior_std=self._bias_prior_std,
                 interpret=config.pallas_interpret(),
@@ -225,10 +230,12 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         (predict/eval/state_dict read self.particles / self.opt_state)."""
         self._fused_dirty = False
         self.particles, mu, nu = self._fused.sync()
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import bump_counts
+
         adam = self.opt_state[0]._replace(
             count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
         )
-        self.opt_state = (adam,) + tuple(self.opt_state[1:])
+        self.opt_state = (adam,) + bump_counts(self.opt_state[1:], total_steps)
 
     def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
         """Fits the hyper-posterior particles with SVGD."""

@@ -111,7 +111,9 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         # jit functions are memoized on their full static config so learner
         # instances with identical configs share XLA compile caches
         hp_key = (self.cfg, weight_prior_std, bias_prior_std)
-        opt_key = (optimizer, lr, lr_decay)
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
+        opt_key = (optimizer, lr, lr_decay, launch_sched.LR_TRANSITION_STEPS)
         self._opt = shared(("pacoh_vi.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.posterior)
 
@@ -184,7 +186,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
 
         The mega-kernel (ops/pallas/fused_vi_kernel.py) covers the flagship
         configuration: NN mean + NN kernel with one shared hidden width,
-        feature_dim 1, diag posterior, full task batch, constant-lr Adam,
+        feature_dim 1, diag posterior, full task batch, Adam (any lr_decay),
         N within the unrolled-linalg window. Everything else uses the
         general scan-fused XLA step.
         """
@@ -197,7 +199,9 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             and self._mesh is None
             and self._cov_type == "diag"
             and self.task_batch_size == self.n_tasks
-            and self._optimizer_name == "Adam" and self._lr_decay == 1.0
+            # lr_decay < 1: staircase-aligned launches, runtime lr scalar
+            # (ops/pallas/launch_sched.py)
+            and self._optimizer_name == "Adam"
             and cfg.mean_module == "NN" and cfg.covar_module == "NN"
             and cfg.feature_dim == 1
             and hidden == tuple(cfg.kernel_nn_layers)
@@ -224,7 +228,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
                 weight_prior_std=self._weight_prior_std,
                 bias_prior_std=self._bias_prior_std,
                 svi_batch_size=self.svi_batch_size,
-                base_key=self._train_key,
+                base_key=self._train_key, lr_decay=self._lr_decay,
                 interpret=config.pallas_interpret(),
             )
             if self._step_count > 0:  # resume: carry the live Adam moments
@@ -244,10 +248,12 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         (predict/eval/state_dict read self.posterior / self.opt_state)."""
         self._fused_dirty = False
         self.posterior, mu, nu = self._fused.sync()
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import bump_counts
+
         adam = self.opt_state[0]._replace(
             count=jnp.asarray(total_steps, jnp.int32), mu=mu, nu=nu
         )
-        self.opt_state = (adam,) + tuple(self.opt_state[1:])
+        self.opt_state = (adam,) + bump_counts(self.opt_state[1:], total_steps)
 
     def meta_fit(self, valid_tuples=None, verbose=True, log_period=500, n_iter=None):
         """Fits the variational hyper-posterior by minimizing the negative ELBO."""

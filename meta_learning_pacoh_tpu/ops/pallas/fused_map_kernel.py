@@ -26,7 +26,9 @@ Fast-path constraints (the general XLA path remains for the rest):
 mean_module == covar_module == 'NN', learning_mode == 'both', full task
 batch OR count-weighted sampled batches (counted=True — per-step draw
 counts streamed as pages, the learner's _weight_by_counts analog),
-Adam(W) with constant lr, N <= 8 (unrolled-linalg window), f32.
+Adam(W), optionally staircase StepLR (lr_decay < 1: launch_sched splits
+launches at staircase boundaries, per-launch lr rides the runtime scalar),
+N <= 8 (unrolled-linalg window), f32.
 
 Known divergence from optax: the Adam bias-correction step counter is
 carried as f32 SMEM (`t_f = step0 + i + 1`), so past ~2^24 total steps the
@@ -443,8 +445,9 @@ class FusedMAPTrainer:
     MAX_LAUNCH = 512  # bounds the streamed count-page buffer per launch
 
     def __init__(self, params, X, Y, mask, *, feature_dim, mean_hidden,
-                 kernel_hidden, lr, weight_decay, noise_floor=1e-3,
-                 task_batch_size=None, base_key=None, interpret=False):
+                 kernel_hidden, lr, weight_decay, lr_decay=1.0,
+                 noise_floor=1e-3, task_batch_size=None, base_key=None,
+                 interpret=False):
         import numpy as np
 
         self.T, self.N, self.D = int(X.shape[0]), int(X.shape[1]), int(X.shape[2])
@@ -452,6 +455,7 @@ class FusedMAPTrainer:
         self.mean_hidden = tuple(int(h) for h in mean_hidden)
         self.kernel_hidden = tuple(int(h) for h in kernel_hidden)
         self.lr, self.weight_decay = float(lr), float(weight_decay)
+        self.lr_decay = float(lr_decay)
         self.noise_floor = float(noise_floor)
         self.interpret = interpret
         self.last_loss = float("nan")
@@ -505,17 +509,20 @@ class FusedMAPTrainer:
             self._make_counts = make_counts
 
     def run(self, n_steps, step0):
-        if not self.counted:
-            self._run_one(n_steps, step0)
-            return
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_launches,
+        )
+
         n_steps, step0 = int(n_steps), int(step0)
-        done = 0
-        while done < n_steps:
-            sub = min(self.MAX_LAUNCH, n_steps - done)
-            self._run_one(sub, step0 + done)
-            done += sub
+        cap = self.MAX_LAUNCH if self.counted else n_steps
+        for s, sub in staircase_launches(step0, n_steps, cap, self.lr_decay):
+            self._run_one(sub, s)
 
     def _run_one(self, n_steps, step0):
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_lr,
+        )
+
         pages = (self._make_counts(self.base_key, int(step0), int(n_steps))
                  if self.counted else None)
         (self.packed, self.m, self.v, self.last_loss,
@@ -523,7 +530,8 @@ class FusedMAPTrainer:
             self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
             self.w_t, float(step0), T=self.T, N=self.N, D=self.D, F=self.F,
             mean_hidden=self.mean_hidden, kernel_hidden=self.kernel_hidden,
-            lr=self.lr, weight_decay=self.weight_decay,
+            lr=staircase_lr(self.lr, self.lr_decay, step0),
+            weight_decay=self.weight_decay,
             noise_floor=self.noise_floor, n_steps=int(n_steps),
             counts_pages=pages, interpret=self.interpret)
 

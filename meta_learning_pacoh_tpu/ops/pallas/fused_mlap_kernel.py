@@ -42,7 +42,8 @@ sublane slice. Adam moments live in the same layouts.
 
 Fast-path constraints (the general XLA path remains for the rest):
 mean_module == covar_module == 'NN' with one shared hidden width,
-feature_dim == 1, cov_type == 'diag', Adam with constant lr, N <= 8
+feature_dim == 1, cov_type == 'diag', Adam (optionally staircase StepLR
+via launch_sched boundary-aligned launches), N <= 8
 (the unrolled-linalg window), f32. The Adam step counter is f32 SMEM —
 the 2^24-step caveat of fused_map_kernel.py applies.
 """
@@ -584,7 +585,7 @@ class FusedMLAPTrainer:
     def __init__(self, hyper_prior, params, X, Y, mask, *, hidden, lr,
                  posterior_lr_multiplier, task_batch_size, svi_batch_size,
                  task_kl_weight, meta_kl_weight, delta, weight_prior_std,
-                 bias_prior_std, base_key, interpret=False):
+                 bias_prior_std, base_key, lr_decay=1.0, interpret=False):
         from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
             pack_state,
             unpack_state,
@@ -599,6 +600,7 @@ class FusedMLAPTrainer:
         self.names = state_names(len(self.hidden))
         self.lr_main = float(lr)
         self.lr_post = float(lr * posterior_lr_multiplier)
+        self.lr_decay = float(lr_decay)
         self.wps, self.bps = float(weight_prior_std), float(bias_prior_std)
         self.tkw, self.mkw = float(task_kl_weight), float(meta_kl_weight)
         self.delta = float(delta)
@@ -701,23 +703,32 @@ class FusedMLAPTrainer:
         self.v_l = self._pack_params(nu_tree)
 
     def run(self, n_steps, step0):
-        n_steps, step0 = int(n_steps), int(step0)
-        done = 0
-        while done < n_steps:
-            sub = min(self.MAX_LAUNCH, n_steps - done)
-            self._run_one(sub, step0 + done)
-            done += sub
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_launches,
+        )
+
+        for s, sub in staircase_launches(step0, n_steps, self.MAX_LAUNCH,
+                                         self.lr_decay):
+            self._run_one(sub, s)
 
     META_TEST = False
 
     def _run_one(self, n_steps, step0):
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_lr,
+        )
+
+        # both param groups follow the same staircase (reference:
+        # post_schedule = make_lr_schedule(lr * mult, lr_decay))
+        fac = staircase_lr(1.0, self.lr_decay, step0)
         pages = self._make_pages(self.base_key, int(step0), int(n_steps))
         (self.state_l, self.m_l, self.v_l, self.last_loss, self.avg_loss,
          self.last_diag) = fused_mlap_train_packed(
             self.state_l, self.m_l, self.v_l, self.x, self.y_nm,
             self.mask_nm, self.n_eff, pages, float(step0), S=self.S,
             T=self.T, N=self.N, D=self.D, B=self.B, hidden=self.hidden,
-            lr_main=self.lr_main, lr_post=self.lr_post, wps=self.wps,
+            lr_main=self.lr_main * fac, lr_post=self.lr_post * fac,
+            wps=self.wps,
             bps=self.bps, task_kl_weight=self.tkw, meta_kl_weight=self.mkw,
             delta=self.delta, p_dim=self.p_dim,
             sum_log_sigma_p=self.sum_log_sigma_p, n_steps=int(n_steps),

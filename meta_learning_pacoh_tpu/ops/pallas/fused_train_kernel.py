@@ -34,7 +34,8 @@ gradient, zero moment, and stay exactly zero, so the padding is inert).
 
 Constraints of this fast path (the general XLA path remains for the rest):
 mean_module == covar_module == 'NN', feature_dim == 1, full task batch,
-RBF kernel with median bandwidth, Adam with constant lr, N <= 8 (the
+RBF kernel with median bandwidth, Adam (optionally staircase StepLR via
+launch_sched boundary-aligned launches), N <= 8 (the
 unrolled-linalg window), f32.
 """
 
@@ -755,7 +756,7 @@ class FusedSVGDTrainer:
 
     def __init__(self, hyper_prior, particles, X, Y, mask, *, hidden, lr,
                  prior_factor, weight_prior_std, bias_prior_std,
-                 interpret=False, ablate=()):
+                 lr_decay=1.0, interpret=False, ablate=()):
         import numpy as np
 
         self.hp = hyper_prior
@@ -763,6 +764,7 @@ class FusedSVGDTrainer:
         self.T, self.N, self.D = int(X.shape[0]), int(X.shape[1]), int(X.shape[2])
         self.hidden = tuple(int(h) for h in hidden)
         self.lr, self.prior_factor = float(lr), float(prior_factor)
+        self.lr_decay = float(lr_decay)
         self.wps, self.bps = float(weight_prior_std), float(bias_prior_std)
         self.interpret = interpret
         self.ablate = tuple(ablate)
@@ -798,12 +800,21 @@ class FusedSVGDTrainer:
             self.N * self.T, 1).astype(jnp.float32)
 
     def run(self, n_steps, step0):
-        self.packed, self.m, self.v = fused_svgd_train_packed(
-            self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
-            self.w_t, float(step0), K=self.K, T=self.T, N=self.N, D=self.D,
-            hidden=self.hidden, lr=self.lr, prior_factor=self.prior_factor,
-            wps=self.wps, bps=self.bps, n_steps=int(n_steps),
-            interpret=self.interpret, ablate=self.ablate)
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_launches,
+            staircase_lr,
+        )
+
+        for s, sub in staircase_launches(step0, n_steps, int(n_steps),
+                                         self.lr_decay):
+            self.packed, self.m, self.v = fused_svgd_train_packed(
+                self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
+                self.w_t, float(s), K=self.K, T=self.T, N=self.N, D=self.D,
+                hidden=self.hidden,
+                lr=staircase_lr(self.lr, self.lr_decay, s),
+                prior_factor=self.prior_factor,
+                wps=self.wps, bps=self.bps, n_steps=int(sub),
+                interpret=self.interpret, ablate=self.ablate)
 
     def sync(self):
         """(particles, adam_mu, adam_nu) as flat [K, P] arrays, one dispatch."""

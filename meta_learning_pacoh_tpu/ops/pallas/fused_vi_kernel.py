@@ -438,7 +438,7 @@ class FusedVITrainer:
 
     def __init__(self, hyper_prior, post, X, Y, mask, *, hidden, lr,
                  prior_factor, weight_prior_std, bias_prior_std,
-                 svi_batch_size, base_key, interpret=False):
+                 svi_batch_size, base_key, lr_decay=1.0, interpret=False):
         import numpy as np
 
         from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
@@ -451,6 +451,7 @@ class FusedVITrainer:
                                   int(X.shape[2]))
         self.hidden = tuple(int(h) for h in hidden)
         self.lr, self.prior_factor = float(lr), float(prior_factor)
+        self.lr_decay = float(lr_decay)
         self.wps, self.bps = float(weight_prior_std), float(bias_prior_std)
         self.base_key = base_key
         self.interpret = interpret
@@ -537,21 +538,28 @@ class FusedVITrainer:
     MAX_LAUNCH = 512
 
     def run(self, n_steps, step0):
-        n_steps, step0 = int(n_steps), int(step0)
-        done = 0
-        while done < n_steps:
-            sub = min(self.MAX_LAUNCH, n_steps - done)
-            self._run_one(sub, step0 + done)
-            done += sub
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_launches,
+        )
+
+        for s, sub in staircase_launches(step0, n_steps, self.MAX_LAUNCH,
+                                         self.lr_decay):
+            self._run_one(sub, s)
 
     def _run_one(self, n_steps, step0):
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_lr,
+        )
+
         eps_pages = self._make_eps(self.base_key, int(step0), int(n_steps))
         (self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
          self.v_lsc, self.last_loss, self.avg_loss) = fused_vi_train_packed(
             self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
             self.v_lsc, self.x, self.y_nm, self.mask_nm, self.w_t,
             eps_pages, float(step0), S=self.S, T=self.T, N=self.N, D=self.D,
-            hidden=self.hidden, lr=self.lr, prior_factor=self.prior_factor,
+            hidden=self.hidden,
+            lr=staircase_lr(self.lr, self.lr_decay, step0),
+            prior_factor=self.prior_factor,
             wps=self.wps, bps=self.bps, mll_const=self.mll_const,
             lp_const=self.lp_const, ent_const=self.ent_const,
             n_steps=int(n_steps), interpret=self.interpret)

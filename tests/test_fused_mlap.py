@@ -293,9 +293,11 @@ def test_mlap_fused_gate_rejects_out_of_window_configs(monkeypatch):
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
     m, train, kw = _make_fused_learner()
     assert m._fused_path_ok()
+    # lr_decay no longer disqualifies: staircase launches handle it
+    # (tests/test_fused_lr_decay.py)
     for bad in (dict(cov_type="full"), dict(feature_dim=2),
                 dict(covar_module="SE"), dict(mean_module="constant"),
-                dict(lr_decay=0.9), dict(optimizer="SGD")):
+                dict(optimizer="SGD")):
         kw_bad = dict(kw)
         kw_bad.update(bad)
         m_bad = GPRegressionMetaLearnedPAC(train, **kw_bad)

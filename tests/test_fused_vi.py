@@ -180,8 +180,10 @@ def test_vi_fused_gate_rejects_out_of_window_configs(monkeypatch):
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
     m, train, kw = _make_learners(monkeypatch)
     assert m._fused_path_ok()
+    # lr_decay no longer disqualifies: staircase launches handle it
+    # (tests/test_fused_lr_decay.py)
     for bad in (dict(cov_type="full"), dict(feature_dim=2),
-                dict(covar_module="SE"), dict(lr_decay=0.9),
+                dict(covar_module="SE"),
                 dict(task_batch_size=2)):
         from meta_learning_pacoh_tpu import GPRegressionMetaLearnedVI
 
