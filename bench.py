@@ -38,11 +38,19 @@ def main():
     float(m.particles[0, 0])  # readback fence (block_until_ready is
     # unreliable through the tunneled runtime)
 
-    t0 = time.time()
-    m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
-    float(m.particles[0, 0])
-    elapsed = time.time() - t0
-    steps_per_sec = n_iter / elapsed
+    # >=5 timed repeats so the headline carries a spread — a single sample
+    # cannot distinguish axon-tunnel timing noise from a real regression
+    # (repeat protocol analog: reference compuational_comparison.py:46-67)
+    REPEATS = 5
+    sps_samples = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+        float(m.particles[0, 0])
+        sps_samples.append(n_iter / (time.time() - t0))
+    steps_per_sec = float(np.mean(sps_samples))
+    steps_per_sec_std = float(np.std(sps_samples))
+    elapsed = n_iter / steps_per_sec
 
     ll, rmse, calib = m.eval_datasets(meta_test)
 
@@ -73,9 +81,12 @@ def main():
             return c
 
         float(many(K))  # compile + fence
-        t0 = time.time()
-        float(many(K))
-        return (time.time() - t0) / reps * 1e6
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            float(many(K))
+            samples.append((time.time() - t0) / reps * 1e6)
+        return float(np.mean(samples))
 
     # N=20 device time is ~50us/rep: use enough reps that the one-dispatch
     # tunnel latency (~10-30ms) amortizes out of the per-rep number
@@ -86,6 +97,7 @@ def main():
     # experiments/compuational_comparison.py:46-99): warm per-iteration
     # meta-train cost + MLAP per-task meta-test cost on sin_20
     per_iter_ms = {}
+    per_iter_ms_std = {}
     from meta_learning_pacoh_tpu import (
         GPRegressionMetaLearned,
         GPRegressionMetaLearnedPAC,
@@ -128,13 +140,17 @@ def main():
             model.params if name != "vi" else model.posterior)
         leaf = jax.tree.leaves(state)[0]
         float(jnp.asarray(leaf).ravel()[0])  # readback fence
-        t0 = time.time()
-        model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
-        leaf = jax.tree.leaves(
-            model.particles if name == "svgd" else (
-                model.params if name != "vi" else model.posterior))[0]
-        float(jnp.asarray(leaf).ravel()[0])
-        per_iter_ms[name] = round((time.time() - t0) / n_time * 1000.0, 4)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
+            leaf = jax.tree.leaves(
+                model.particles if name == "svgd" else (
+                    model.params if name != "vi" else model.posterior))[0]
+            float(jnp.asarray(leaf).ravel()[0])
+            samples.append((time.time() - t0) / n_time * 1000.0)
+        per_iter_ms[name] = round(float(np.mean(samples)), 4)
+        per_iter_ms_std[name] = round(float(np.std(samples)), 4)
 
     # MLAP meta-test: 3000-step inner Adam for 5 tasks (fused Pallas
     # inference kernel on TPU; one vmapped scan on the XLA path). Warm-up
@@ -147,10 +163,13 @@ def main():
     for _ in range(2):
         st = mlap_model._meta_test_inference(ctx, n_iter=3000)
         float(jnp.asarray(st["q_means"]).ravel()[0])
-    t0 = time.time()
-    st = mlap_model._meta_test_inference(ctx, n_iter=3000)
-    float(jnp.asarray(st["q_means"]).ravel()[0])
-    mlap_meta_test_s_per_task = (time.time() - t0) / len(ctx)
+    mt_samples = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        st = mlap_model._meta_test_inference(ctx, n_iter=3000)
+        float(jnp.asarray(st["q_means"]).ravel()[0])
+        mt_samples.append((time.time() - t0) / len(ctx))
+    mlap_meta_test_s_per_task = float(np.mean(mt_samples))
 
     # measured torch-CPU baseline for the same step (tools/torch_svgd_timing:
     # reference SVGD math in plain torch; 'batched' fuses all tasks into one
@@ -173,6 +192,8 @@ def main():
         "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 3),
         "extra": {
             "elapsed_sec_10k_iters": round(elapsed, 3),
+            "steps_per_sec_std": round(steps_per_sec_std, 2),
+            "steps_per_sec_samples": [round(s, 1) for s in sps_samples],
             "test_ll": round(ll, 4),
             "test_rmse": round(rmse, 4),
             "calib_err": round(calib, 4),
@@ -189,6 +210,7 @@ def main():
                 (10.0 / 3.0) * 200 * 200**3 / (mll_grad_us_n200 * 1e-6)
                 / 197e12 * 100.0, 2),
             "per_iter_ms": per_iter_ms,
+            "per_iter_ms_std": per_iter_ms_std,
             "mlap_meta_test_s_per_task_3000steps": round(
                 mlap_meta_test_s_per_task, 3),
             "torch_cpu_svgd_steps_per_sec": torch_sps,

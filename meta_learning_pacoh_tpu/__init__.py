@@ -20,10 +20,22 @@ from meta_learning_pacoh_tpu.algos.gpr_mll import GPRegressionLearned
 from meta_learning_pacoh_tpu.algos.gpr_pac import GPRegressionLearnedPAC
 from meta_learning_pacoh_tpu.algos.maml import MAMLRegression
 from meta_learning_pacoh_tpu.algos.npr import NPRegressionMetaLearned
+from meta_learning_pacoh_tpu.models.modules import (
+    CosineKernel,
+    KernelModule,
+    LinearMean,
+    MaternKernel,
+    MeanModule,
+)
 
 __version__ = "0.2.0"
 
 __all__ = [
+    "CosineKernel",
+    "KernelModule",
+    "LinearMean",
+    "MaternKernel",
+    "MeanModule",
     "GPRegressionMetaLearned",
     "GPRegressionMetaLearnedSVGD",
     "GPRegressionMetaLearnedVI",

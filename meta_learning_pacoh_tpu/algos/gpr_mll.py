@@ -72,9 +72,19 @@ class GPRegressionLearned(RegressionModel):
         sharded, panels exchanged over ICI). Smaller N ignores the mesh."""
         super().__init__(normalize_data=normalize_data, random_seed=random_seed)
 
+        from meta_learning_pacoh_tpu.models.modules import KernelModule, MeanModule
+
         assert learning_mode in ["learn_mean", "learn_kernel", "both", "vanilla"]
-        assert mean_module in ["NN", "constant", "zero"]
-        assert covar_module in ["NN", "SE"]
+        # user-supplied module instances are accepted next to the string
+        # shorthands, matching the reference (GPR_mll.py:40-41 takes any
+        # gpytorch mean/kernel; exercised with CosineKernel in
+        # reference tests/test_GPR.py:95-144)
+        assert mean_module in ["NN", "constant", "zero"] or isinstance(
+            mean_module, MeanModule
+        )
+        assert covar_module in ["NN", "SE"] or isinstance(
+            covar_module, KernelModule
+        )
         assert optimizer in ["Adam", "SGD"]
         if covar_module == "NN":
             assert learning_mode in ["learn_kernel", "both"]
@@ -140,6 +150,13 @@ class GPRegressionLearned(RegressionModel):
                 return "hyper"
             if name in ("lengthscale_raw", "outputscale_raw"):
                 return "hyper" if learn_kernel else "freeze"
+            # custom-module hyperparameters join the 'hyper' group — the
+            # reference appends them with plain lr (GPR_mll.py:74-78), which
+            # under torch AdamW means the 0.01 default weight decay
+            if name == "custom_kernel":
+                return "hyper" if learn_kernel else "freeze"
+            if name == "custom_mean":
+                return "hyper" if learn_mean else "freeze"
             if name == "kernel_nn":
                 return "nn" if learn_kernel else "freeze"
             if name in ("mean_nn", "constant_mean"):

@@ -99,8 +99,13 @@ class MAMLRegression(RegressionModelMetaLearned):
             )
 
         # jit functions are memoized on their full static config so learner
-        # instances with identical configs share XLA compile caches
-        opt_key = (optimizer, lr_meta, lr_decay)
+        # instances with identical configs share XLA compile caches.
+        # LR_TRANSITION_STEPS is part of the key because make_lr_schedule
+        # reads the mutable module constant at build time — tests shrink it.
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
+        opt_key = (optimizer, lr_meta, lr_decay,
+                   launch_sched.LR_TRANSITION_STEPS)
         arch_key = (self.input_dim, self.output_dim, tuple(layer_sizes))
         self._opt = shared(("maml.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.params)

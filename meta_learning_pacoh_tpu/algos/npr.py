@@ -84,8 +84,13 @@ class NPRegressionMetaLearned(RegressionModelMetaLearned):
             return optax.sgd(schedule)
 
         # jit functions are memoized on their full static config so learner
-        # instances with identical configs share XLA compile caches
-        opt_key = (optimizer, lr_params, lr_decay, weight_decay)
+        # instances with identical configs share XLA compile caches.
+        # LR_TRANSITION_STEPS is part of the key because make_lr_schedule
+        # reads the mutable module constant at build time — tests shrink it.
+        from meta_learning_pacoh_tpu.ops.pallas import launch_sched
+
+        opt_key = (optimizer, lr_params, lr_decay, weight_decay,
+                   launch_sched.LR_TRANSITION_STEPS)
         self._opt = shared(("npr.opt",) + opt_key, build_opt)
         self.opt_state = self._opt.init(self.params)
         self._step_fn = shared(

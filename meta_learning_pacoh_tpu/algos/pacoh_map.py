@@ -68,9 +68,17 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         per-task MLL sum reduces with an XLA psum across devices."""
         super().__init__(normalize_data, random_seed)
 
+        from meta_learning_pacoh_tpu.models.modules import KernelModule, MeanModule
+
         assert learning_mode in ["learn_mean", "learn_kernel", "both", "vanilla"]
-        assert mean_module in ["NN", "constant", "zero"]
-        assert covar_module in ["NN", "SE"]
+        # user-supplied module instances are accepted next to the string
+        # shorthands, matching the reference (GPR_meta_mll.py:42)
+        assert mean_module in ["NN", "constant", "zero"] or isinstance(
+            mean_module, MeanModule
+        )
+        assert covar_module in ["NN", "SE"] or isinstance(
+            covar_module, KernelModule
+        )
         assert optimizer in ["Adam", "SGD"]
         if covar_module == "NN":
             assert learning_mode in ["learn_kernel", "both"], "kernel NN must be learned"
@@ -169,8 +177,10 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         def leaf_mask(name):
             if name == "noise_raw":
                 return True
-            if name in ("lengthscale_raw", "outputscale_raw"):
+            if name in ("lengthscale_raw", "outputscale_raw", "custom_kernel"):
                 return learn_kernel
+            if name == "custom_mean":
+                return learn_mean
             if name == "kernel_nn":
                 return learn_kernel
             if name in ("mean_nn", "constant_mean"):

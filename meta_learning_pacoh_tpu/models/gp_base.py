@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from meta_learning_pacoh_tpu.models.mlp import init_mlp_params, mlp_apply
+from meta_learning_pacoh_tpu.models.modules import KernelModule, MeanModule
 from meta_learning_pacoh_tpu.ops.kernels import rbf_ard, softplus
 from meta_learning_pacoh_tpu.ops import gp as gp_ops
 
@@ -30,8 +31,11 @@ from meta_learning_pacoh_tpu.ops import gp as gp_ops
 class GPConfig:
     input_dim: int
     feature_dim: int = 2
-    mean_module: str = "NN"  # 'NN' | 'constant' | 'zero'
-    covar_module: str = "NN"  # 'NN' | 'SE'
+    # 'NN' | 'constant' | 'zero' | a models.modules.MeanModule instance
+    mean_module: object = "NN"
+    # 'NN' | 'SE' | a models.modules.KernelModule instance (the reference
+    # accepts arbitrary gpytorch modules here, GPR_mll.py:40-41)
+    covar_module: object = "NN"
     mean_nn_layers: tuple = (32, 32)
     kernel_nn_layers: tuple = (32, 32)
     has_outputscale: bool = True
@@ -49,7 +53,9 @@ def init_gp_params(cfg: GPConfig, key):
     matching gpytorch's raw-parameter initialization."""
     k_mean, k_kernel = jax.random.split(key)
     params = {}
-    if cfg.mean_module == "NN":
+    if isinstance(cfg.mean_module, MeanModule):
+        params["custom_mean"] = cfg.mean_module.init_params(k_mean, cfg.input_dim)
+    elif cfg.mean_module == "NN":
         params["mean_nn"] = init_mlp_params(
             k_mean, cfg.input_dim, 1, cfg.mean_nn_layers, scheme=cfg.init_scheme
         )
@@ -58,6 +64,15 @@ def init_gp_params(cfg: GPConfig, key):
     elif cfg.mean_module != "zero":
         raise ValueError(f"unknown mean_module {cfg.mean_module!r}")
 
+    if isinstance(cfg.covar_module, KernelModule):
+        # a custom kernel owns its hyperparameters (no framework
+        # lengthscale/outputscale — the reference likewise leaves a
+        # user-supplied gpytorch kernel unwrapped, GPR_mll.py:74-78)
+        params["custom_kernel"] = cfg.covar_module.init_params(
+            k_kernel, cfg.input_dim
+        )
+        params["noise_raw"] = jnp.zeros(())
+        return params
     if cfg.covar_module == "NN":
         params["kernel_nn"] = init_mlp_params(
             k_kernel, cfg.input_dim, cfg.feature_dim, cfg.kernel_nn_layers,
@@ -75,6 +90,8 @@ def init_gp_params(cfg: GPConfig, key):
 
 def gp_mean(cfg: GPConfig, params, x):
     """Prior mean at x [N, D] -> [N]."""
+    if isinstance(cfg.mean_module, MeanModule):
+        return cfg.mean_module.mean(params["custom_mean"], x)
     if cfg.mean_module == "NN":
         return mlp_apply(params["mean_nn"], x)[..., 0]
     if cfg.mean_module == "constant":
@@ -88,15 +105,28 @@ def gp_features(cfg: GPConfig, params, x):
     return x
 
 
+def gp_noise(cfg: GPConfig, params):
+    """Observation-noise variance (always a framework-level parameter, even
+    under a custom kernel — the reference's GaussianLikelihood is separate
+    from the covar module)."""
+    return softplus(params["noise_raw"]) + cfg.noise_floor
+
+
 def gp_hypers(cfg: GPConfig, params):
+    if isinstance(cfg.covar_module, KernelModule):
+        # a custom kernel owns its hyperparameters; only noise is shared
+        return None, None, gp_noise(cfg, params)
     ls = softplus(params["lengthscale_raw"])
     os_ = softplus(params["outputscale_raw"]) if cfg.has_outputscale else jnp.asarray(1.0)
-    noise = softplus(params["noise_raw"]) + cfg.noise_floor
-    return ls, os_, noise
+    return ls, os_, gp_noise(cfg, params)
 
 
 def gp_gram(cfg: GPConfig, params, x1, x2=None):
     """Kernel matrix on (NN-featurized) inputs. x1 [N, D], x2 [M, D] -> [N, M]."""
+    if isinstance(cfg.covar_module, KernelModule):
+        return cfg.covar_module.gram(
+            params["custom_kernel"], x1, x1 if x2 is None else x2
+        )
     f1 = gp_features(cfg, params, x1)
     f2 = f1 if x2 is None else gp_features(cfg, params, x2)
     ls, os_, _ = gp_hypers(cfg, params)
@@ -132,12 +162,19 @@ def gp_predict(cfg: GPConfig, params, x_context, y_context, x_test, mask_c=None,
     -> (mean [Nt], cov [Nt, Nt]); cov includes observation noise when asked
     (the reference's `likelihood(gp(x))` predictive, GPR_meta_mll.py:181).
     """
-    f_c = gp_features(cfg, params, x_context)
-    f_t = gp_features(cfg, params, x_test)
-    ls, os_, noise = gp_hypers(cfg, params)
-    K_cc = rbf_ard(f_c, f_c, ls, os_)
-    K_ct = rbf_ard(f_c, f_t, ls, os_)
-    K_tt = rbf_ard(f_t, f_t, ls, os_)
+    noise = gp_noise(cfg, params)
+    if isinstance(cfg.covar_module, KernelModule):
+        K_cc = gp_gram(cfg, params, x_context)
+        K_ct = gp_gram(cfg, params, x_context, x_test)
+        K_tt = gp_gram(cfg, params, x_test)
+    else:
+        # built-in path: featurize once, reuse across the three grams
+        f_c = gp_features(cfg, params, x_context)
+        f_t = gp_features(cfg, params, x_test)
+        ls, os_, _ = gp_hypers(cfg, params)
+        K_cc = rbf_ard(f_c, f_c, ls, os_)
+        K_ct = rbf_ard(f_c, f_t, ls, os_)
+        K_tt = rbf_ard(f_t, f_t, ls, os_)
     mean_c = gp_mean(cfg, params, x_context)
     mean_t = gp_mean(cfg, params, x_test)
     post_mean, post_cov = gp_ops.gp_posterior(

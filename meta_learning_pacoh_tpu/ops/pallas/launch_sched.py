@@ -41,6 +41,10 @@ def staircase_launches(step0, n_steps, max_launch, lr_decay=1.0,
     """
     t = LR_TRANSITION_STEPS if transition is None else int(transition)
     step0, n_steps = int(step0), int(n_steps)
+    if n_steps > 0 and int(max_launch) < 1:
+        raise ValueError(
+            f"staircase_launches: max_launch must be >= 1, got {max_launch}"
+        )
     done = 0
     while done < n_steps:
         s = step0 + done

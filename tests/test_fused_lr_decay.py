@@ -19,6 +19,7 @@ import pytest
 from meta_learning_pacoh_tpu.datasets import SinusoidDataset
 from meta_learning_pacoh_tpu import (
     GPRegressionMetaLearned,
+    GPRegressionMetaLearnedPAC,
     GPRegressionMetaLearnedSVGD,
     GPRegressionMetaLearnedVI,
 )
@@ -155,6 +156,62 @@ def test_svgd_fused_lr_decay_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(m_fused.particles),
                                np.asarray(m_plain.particles),
                                rtol=0, atol=2e-3)
+
+
+def test_mlap_fused_lr_decay_matches_xla(monkeypatch):
+    """MLAP applies ONE staircase factor to TWO lr groups (lr_main,
+    lr_post = lr * posterior_lr_multiplier); a multiplier != 1 pins that
+    both groups decay together. The no-noise inner-KL gram amplifies f32
+    rounding (condition ~1e6), so — as in test_fused_mlap.py — the
+    yardstick is the chaos gap of a 1e-7-perturbed XLA run, not a fixed
+    atol."""
+    n_iter = 16
+    _shrunk(monkeypatch)
+
+    def build():
+        return GPRegressionMetaLearnedPAC(
+            _meta_train(), num_iter_fit=n_iter, random_seed=30, lr=LR,
+            lr_decay=DECAY, posterior_lr_multiplier=0.5, svi_batch_size=3,
+            meta_kl_weight=1e-3, task_kl_weight=0.5,
+            covar_module="NN", mean_module="NN",
+            mean_nn_layers=(8, 8), kernel_nn_layers=(8, 8),
+        )
+
+    m_plain = build()
+    assert not m_plain._fused_path_ok()
+    # log_period 9 forces an XLA chunk boundary mid-staircase too
+    m_plain.meta_fit(verbose=False, log_period=9, n_iter=n_iter)
+
+    m_chaos = build()
+    m_chaos.params["hyper_post"]["loc"] = (
+        m_chaos.params["hyper_post"]["loc"] * (1.0 + 1e-7))
+    m_chaos.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    m_fused = build()
+    assert m_fused._fused_path_ok()
+    m_fused.meta_fit(verbose=False, log_period=9, n_iter=n_iter)
+
+    flat_f = np.concatenate(_leaves(m_fused.params), axis=None)
+    flat_x = np.concatenate(_leaves(m_plain.params), axis=None)
+    flat_p = np.concatenate(_leaves(m_chaos.params), axis=None)
+    gap_fused = float(np.max(np.abs(flat_f - flat_x)))
+    gap_chaos = float(np.max(np.abs(flat_p - flat_x)))
+    # same loose calibration as test_fused_mlap.py: a wrong lr in either
+    # group diverges at optimizer-step scale, orders above this band
+    assert gap_fused <= 6.0 * gap_chaos + 1e-4, (gap_fused, gap_chaos)
+
+    # continuing on the XLA path must resume at the decayed lr for BOTH
+    # multi_transform groups (schedule counts synced by bump_counts)
+    monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "0")
+    m_fused._fused = None
+    assert not m_fused._fused_path_ok()
+    m_fused.meta_fit(verbose=False, log_period=8, n_iter=8)
+    m_plain.meta_fit(verbose=False, log_period=8, n_iter=8)
+    flat_f2 = np.concatenate(_leaves(m_fused.params), axis=None)
+    flat_x2 = np.concatenate(_leaves(m_plain.params), axis=None)
+    gap_cont = float(np.max(np.abs(flat_f2 - flat_x2)))
+    assert gap_cont <= 8.0 * gap_chaos + 2e-4, (gap_cont, gap_chaos)
 
 
 def test_vi_fused_lr_decay_matches_xla(monkeypatch):
