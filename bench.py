@@ -119,20 +119,25 @@ def main():
             meta_train, num_iter_fit=2000, random_seed=1,
             covar_module="NN", mean_module="NN", meta_kl_weight=1e-3),
     }
-    # Swissfel-shaped workload (T=5 tasks, N=200 points): training rides
-    # the blocked Pallas Cholesky/MLL tier (49<=N<=512) inside the XLA
-    # scan — the file-backed regime the fused N<=8 kernels don't cover
+    # Swissfel-shaped workload (T=5 tasks, N=200 points): the fused big-N
+    # mega-kernel (ops/pallas/fused_map_bign_kernel.py) owns this on TPU;
+    # the _xla twin keeps round-3's blocked-kernel-in-scan continuity line
+    # (same config, fused training kernels off, linalg tiers still Pallas)
     env_big = SinusoidDataset(random_state=np.random.RandomState(5))
     big_train = env_big.generate_meta_train_data(n_tasks=5, n_samples=200)
     algos["map_t5_n200"] = lambda: GPRegressionMetaLearned(
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
+    algos["map_t5_n200_xla"] = lambda: GPRegressionMetaLearned(
+        big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
 
     mlap_model = None
     for name, build in algos.items():
+        if name == "map_t5_n200_xla":
+            os.environ["PACOH_TPU_DISABLE_FUSED"] = "1"
         model = build()
         if name == "mlap":
             mlap_model = model
-        n_time = 500 if name == "map_t5_n200" else 5000
+        n_time = 500 if name.startswith("map_t5_n200") else 5000
         # warm with the SAME chunk length; time a full chunk so the
         # per-dispatch tunnel latency amortizes out of the per-iter number
         model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
@@ -151,6 +156,8 @@ def main():
             samples.append((time.time() - t0) / n_time * 1000.0)
         per_iter_ms[name] = round(float(np.mean(samples)), 4)
         per_iter_ms_std[name] = round(float(np.std(samples)), 4)
+        if name == "map_t5_n200_xla":
+            os.environ.pop("PACOH_TPU_DISABLE_FUSED", None)
 
     # MLAP meta-test: 3000-step inner Adam for 5 tasks (fused Pallas
     # inference kernel on TPU; one vmapped scan on the XLA path). Warm-up

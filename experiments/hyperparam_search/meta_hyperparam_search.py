@@ -36,6 +36,12 @@ flags.DEFINE_boolean(
     "seed_parallel", False,
     "vmap the re-evaluation seeds of each top config into one compiled "
     "program (parallel/seed_parallel.py) instead of looping them")
+flags.DEFINE_integer(
+    "trial_batch_size", 1,
+    "run TPE trials in batches of this size: same-shape configs are "
+    "vmapped into one compiled program over their (lr, weight_decay) "
+    "hyperparameters (utils/tuning_parallel.py — pacoh_map only; other "
+    "algos run each batch sequentially)")
 
 
 def search_space(algo):
@@ -124,10 +130,34 @@ def main(argv):
                               n_iter=FLAGS.n_iter_fit,
                               n_eval_tasks=FLAGS.n_eval_tasks)
 
+    batch_trial = None
+    if FLAGS.trial_batch_size > 1 and algo == "pacoh_map":
+        from meta_learning_pacoh_tpu.utils.tuning_parallel import (
+            run_map_trial_batch,
+        )
+
+        def batch_trial(configs):
+            tests = {}
+
+            def build(config):
+                model, test = build_model(algo, config, dataset, seed=28,
+                                          n_iter=FLAGS.n_iter_fit)
+                tests[id(model)] = test
+                return model
+
+            def evaluate(model):
+                ll, rmse, calib = model.eval_datasets(
+                    tests[id(model)][:FLAGS.n_eval_tasks])
+                return {"test_ll": ll, "test_rmse": rmse, "calib_err": calib}
+
+            return run_map_trial_batch(configs, build, evaluate,
+                                       n_iter=FLAGS.n_iter_fit)
+
     analysis = tune_run(
         trial, search_space(algo), num_samples=FLAGS.num_samples,
         metric="test_ll", mode="max", local_dir=FLAGS.local_dir,
         name=f"{algo}_{dataset}", resume=FLAGS.resume,
+        batch_size=FLAGS.trial_batch_size, batch_trial_fn=batch_trial,
     )
 
     best = select_best_configs(analysis, metric="test_ll", N=FLAGS.top_n)

@@ -304,10 +304,13 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
     def _fused_path_ok(self):
         """Whether the single-launch Pallas training kernel applies.
 
-        The MAP mega-kernel (ops/pallas/fused_map_kernel.py) covers: NN mean
-        + NN kernel, learning_mode 'both', full task batch, Adam(W) with
-        any lr_decay, N within the unrolled-linalg window. Everything else
-        uses the general scan-fused XLA step.
+        Two mega-kernels cover the NN/NN + learning_mode 'both' + Adam(W)
+        configs (full or count-weighted sampled task batches, any staircase
+        lr_decay): the entry-tile kernel for N <= 8
+        (ops/pallas/fused_map_kernel.py) and the blocked-linalg kernel for
+        9 <= N <= 512 (ops/pallas/fused_map_bign_kernel.py — the
+        Swissfel/Physionet-shaped window). Everything else uses the general
+        scan-fused XLA step.
         """
         from meta_learning_pacoh_tpu import config
 
@@ -317,8 +320,8 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             has_adam = hasattr(train.inner_state[0], "mu")
         except (AttributeError, KeyError, TypeError):
             return False
-        return (
-            config.pallas_enabled()
+        if not (
+            config.fused_enabled()
             and self._mesh is None
             # full batch, or sampled batches via the count-weighted pages
             # (the kernel mirrors _weight_by_counts; gather-mode stays XLA
@@ -332,10 +335,17 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             and self._optimizer_name == "Adam"
             and cfg.mean_module == "NN" and cfg.covar_module == "NN"
             and cfg.feature_dim <= 8
-            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
-            and self.X.shape[0] * self.X.shape[1] <= 2048  # VMEM-resident
             and has_adam
+        ):
+            return False
+        if self.X.shape[1] <= 8:  # unrolled-linalg window (ops/gp.py)
+            return self.X.shape[0] * self.X.shape[1] <= 2048  # VMEM-resident
+        from meta_learning_pacoh_tpu.ops.pallas.fused_map_bign_kernel import (
+            bign_fits,
         )
+
+        return (self.X.shape[1] <= 512
+                and bign_fits(self.X.shape[0], self.X.shape[1]))
 
     def _fused_run_chunk(self, chunk):
         from meta_learning_pacoh_tpu import config
@@ -343,9 +353,14 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
             FusedMAPTrainer,
             pack_state,
         )
+        from meta_learning_pacoh_tpu.ops.pallas.fused_map_bign_kernel import (
+            FusedMAPBigNTrainer,
+        )
 
+        trainer_cls = (FusedMAPTrainer if self.X.shape[1] <= 8
+                       else FusedMAPBigNTrainer)
         if self._fused is None:
-            self._fused = FusedMAPTrainer(
+            self._fused = trainer_cls(
                 self.params, self.X, self.Y, self.mask,
                 feature_dim=self.cfg.feature_dim,
                 mean_hidden=self.cfg.mean_nn_layers,

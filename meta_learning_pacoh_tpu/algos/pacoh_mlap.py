@@ -352,7 +352,7 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
         cfg = self.cfg
         hidden = tuple(cfg.mean_nn_layers)
         return (
-            config.pallas_enabled()
+            config.fused_enabled()
             and self._mesh is None
             and self._cov_type == "diag"
             and cfg.mean_module == "NN" and cfg.covar_module == "NN"

@@ -114,7 +114,8 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
 
         self._step_fn = shared(
             ("pacoh_svgd.step",) + hp_key + opt_key
-            + (prior_factor, kernel, bandwidth, self.task_batch_size, self.n_tasks),
+            + (prior_factor, kernel, bandwidth, self.task_batch_size,
+               self.n_tasks, self._weight_by_counts()),
             self._build_step_fn,
         )
         self._predict_fn = shared(
@@ -128,27 +129,48 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
 
 
     # ------------------------------------------------------------- train step
+    def _weight_by_counts(self):
+        """TPU no-gather sampled task batches: weight the full-batch task
+        MLLs by the sampled multiplicities instead of gathering (same
+        randint draws, same estimator — models/random_gp.meta_log_prob
+        counts=; rationale as algos/pacoh_map._weight_by_counts). CPU keeps
+        the gather (golden-stable). PACOH_TPU_SVGD_WEIGHTED=0/1 overrides."""
+        from meta_learning_pacoh_tpu.config import _env_flag
+
+        if self.task_batch_size == self.n_tasks:
+            return False
+        return _env_flag("PACOH_TPU_SVGD_WEIGHTED",
+                         default=jax.default_backend() == "tpu")
+
     def _build_step_fn(self):
         hyper_prior, prior_factor = self.hyper_prior, self.prior_factor
         kernel, bandwidth = self.svgd_kernel, self.bandwidth
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
         full_batch = batch_size == n_tasks
+        weight_by_counts = self._weight_by_counts()
         opt = self._opt
 
         def single_step(carry, key_X_Y_M):
             key, X, Y, M = key_X_Y_M
             particles, opt_state = carry
+            counts = None
             if full_batch:
                 # no task subsampling: the task axis stays contiguous, so a
                 # mesh-sharded [T, N, D] shards cleanly across chips (the
                 # per-task MLL sum becomes an XLA psum over the task axis)
+                xb, yb, mb = X, Y, M
+            elif weight_by_counts:
+                idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
+                counts = jnp.sum(jax.nn.one_hot(idx, n_tasks, dtype=X.dtype),
+                                 axis=0)
                 xb, yb, mb = X, Y, M
             else:
                 idx = jax.random.randint(key, (batch_size,), 0, n_tasks)
                 xb, yb, mb = X[idx], Y[idx], M[idx]
 
             def total_log_prob(p):
-                return jnp.sum(meta_log_prob(hyper_prior, prior_factor, p, xb, yb, mb))
+                return jnp.sum(meta_log_prob(hyper_prior, prior_factor, p,
+                                             xb, yb, mb, counts=counts))
 
             score = jax.grad(total_log_prob)(particles)  # [K, P]
             phi = svgd_phi(particles, score, kernel=kernel, bandwidth=bandwidth)
@@ -183,12 +205,20 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         """
         from meta_learning_pacoh_tpu import config
 
+        import numpy as np
+
         cfg = self.cfg
         hidden = tuple(cfg.mean_nn_layers)
+        sizes = np.asarray(jnp.sum(self.mask, axis=-1))
         return (
-            config.pallas_enabled()
+            config.fused_enabled()
             and self._mesh is None
-            and self.task_batch_size == self.n_tasks
+            # full batch, or sampled batches via count-weighted pages
+            # (uniform task sizes keep the harmonic-mean pre-factor a
+            # per-launch constant inside the kernel)
+            and (self.task_batch_size == self.n_tasks
+                 or (self._weight_by_counts()
+                     and bool(np.all(sizes == sizes[0]))))
             and self.svgd_kernel == "RBF" and self.bandwidth is None
             # lr_decay < 1: staircase-aligned launches, runtime lr scalar
             # (ops/pallas/launch_sched.py)
@@ -217,6 +247,8 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
                 prior_factor=self.prior_factor,
                 weight_prior_std=self._weight_prior_std,
                 bias_prior_std=self._bias_prior_std,
+                task_batch_size=self.task_batch_size,
+                base_key=self._train_key,
                 interpret=config.pallas_interpret(),
             )
             if self._step_count > 0:  # resume: carry the live Adam moments

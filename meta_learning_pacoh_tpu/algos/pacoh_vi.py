@@ -120,7 +120,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         self._step_fn = shared(
             ("pacoh_vi.step",) + hp_key + opt_key
             + (prior_factor, svi_batch_size, cov_type,
-               self.task_batch_size, self.n_tasks),
+               self.task_batch_size, self.n_tasks, self._weight_by_counts()),
             self._build_step_fn,
         )
         self._predict_fn = shared(
@@ -134,15 +134,27 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
 
 
     # ------------------------------------------------------------- train step
+    def _weight_by_counts(self):
+        """TPU no-gather sampled task batches (see pacoh_svgd/pacoh_map's
+        _weight_by_counts). PACOH_TPU_VI_WEIGHTED=0/1 overrides."""
+        from meta_learning_pacoh_tpu.config import _env_flag
+
+        if self.task_batch_size == self.n_tasks:
+            return False
+        return _env_flag("PACOH_TPU_VI_WEIGHTED",
+                         default=jax.default_backend() == "tpu")
+
     def _build_step_fn(self):
         hyper_prior, prior_factor = self.hyper_prior, self.prior_factor
         svi_batch_size = self.svi_batch_size
         n_tasks, batch_size = self.n_tasks, self.task_batch_size
+        weight_by_counts = self._weight_by_counts()
         opt = self._opt
 
-        def neg_elbo(post, key, xb, yb, mb):
+        def neg_elbo(post, key, xb, yb, mb, counts=None):
             samples = posterior_rsample(post, key, svi_batch_size)  # [S, P]
-            lp = meta_log_prob(hyper_prior, prior_factor, samples, xb, yb, mb)  # [S]
+            lp = meta_log_prob(hyper_prior, prior_factor, samples, xb, yb, mb,
+                               counts=counts)  # [S]
             # E_q[log q] == -H(q) exactly for a Gaussian: the reference
             # estimates it from samples (GPR_meta_vi.py:221), but for the
             # full-covariance family the triangular solve behind log q is
@@ -192,13 +204,21 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         """
         from meta_learning_pacoh_tpu import config
 
+        import numpy as np
+
         cfg = self.cfg
         hidden = tuple(cfg.mean_nn_layers)
+        sizes = np.asarray(jnp.sum(self.mask, axis=-1))
         return (
-            config.pallas_enabled()
+            config.fused_enabled()
             and self._mesh is None
             and self._cov_type == "diag"
-            and self.task_batch_size == self.n_tasks
+            # full batch, or sampled batches via count-weighted pages
+            # (uniform task sizes keep the pre-factor / mll_const per-launch
+            # constants inside the kernel)
+            and (self.task_batch_size == self.n_tasks
+                 or (self._weight_by_counts()
+                     and bool(np.all(sizes == sizes[0]))))
             # lr_decay < 1: staircase-aligned launches, runtime lr scalar
             # (ops/pallas/launch_sched.py)
             and self._optimizer_name == "Adam"
@@ -229,6 +249,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
                 bias_prior_std=self._bias_prior_std,
                 svi_batch_size=self.svi_batch_size,
                 base_key=self._train_key, lr_decay=self._lr_decay,
+                task_batch_size=self.task_batch_size,
                 interpret=config.pallas_interpret(),
             )
             if self._step_count > 0:  # resume: carry the live Adam moments

@@ -89,6 +89,15 @@ def pallas_enabled():
     return jax.default_backend() == "tpu"
 
 
+# PACOH_TPU_DISABLE_FUSED=1 turns off only the single-launch fused
+# TRAINING mega-kernels (MAP/SVGD/VI/MLAP) while keeping the scoped
+# linalg kernels (entry-tile MLL, blocked Cholesky/MLL) inside the XLA
+# scan step — the round-3 default path. bench.py uses it to keep the
+# blocked-in-scan continuity line next to the fused number.
+def fused_enabled():
+    return pallas_enabled() and not _env_flag("PACOH_TPU_DISABLE_FUSED")
+
+
 def pallas_interpret():
     """Whether pallas_call should run in interpreter mode (non-TPU backends)."""
     return jax.default_backend() != "tpu"

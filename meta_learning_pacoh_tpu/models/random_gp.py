@@ -129,7 +129,8 @@ def task_mll_flat(hyper_prior: HyperPrior, flat_params, x, y, mask=None):
     return gp_prior_mll(hyper_prior.cfg, params, x, y, mask=mask)
 
 
-def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y, mask=None):
+def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y,
+                  mask=None, counts=None):
     """PACOH generalized-Bayes score of K particles on a task batch.
 
     flat_particles [K, P]; X [T, N, D]; Y [T, N]; mask [T, N] or None.
@@ -138,6 +139,13 @@ def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y, m
     The NN mean/feature forwards run vmapped over (particles x tasks); the
     O(N^3) MLL cores are flattened into ONE [K*T]-batched call so the fused
     Pallas kernel (or the unrolled small-N path) sees the whole batch.
+
+    counts [T] (optional): count-weighted sampled-task-batch estimator —
+    X/Y/mask are the FULL task set and counts holds each task's sampled
+    multiplicity (sum = batch size). Equivalent to gathering the sampled
+    batch (same harmonic-mean pre-factor over the sampled multiset, same
+    weighted task sum), without the TPU-hostile dynamic gather — the
+    no-gather analog of algos/pacoh_map._weight_by_counts.
     """
     from meta_learning_pacoh_tpu.models.gp_base import gp_gram, gp_hypers, gp_mean
     from meta_learning_pacoh_tpu.ops.gp import gp_mll_batch
@@ -167,11 +175,23 @@ def meta_log_prob(hyper_prior: HyperPrior, prior_factor, flat_particles, X, Y, m
     per_task = lls.reshape(k_particles, n_tasks)
 
     sizes = jnp.sum(mask, axis=-1)  # [T]
-    harmonic_mean = 1.0 / jnp.mean(1.0 / sizes)
-    pre_factor = harmonic_mean / (harmonic_mean + n_tasks)
+    if counts is None:
+        harmonic_mean = 1.0 / jnp.mean(1.0 / sizes)
+        pre_factor = harmonic_mean / (harmonic_mean + n_tasks)
+        task_sum = jnp.sum(per_task, axis=-1)
+    else:
+        # harmonic mean over the SAMPLED multiset (== gathering the batch)
+        batch_n = jnp.sum(counts)
+        harmonic_mean = batch_n / jnp.sum(counts / sizes)
+        pre_factor = harmonic_mean / (harmonic_mean + batch_n)
+        # 0-guard: a never-sampled task's NaN MLL must not poison the sum
+        weighted = jnp.where(counts > 0,
+                             counts * jnp.where(counts > 0, per_task, 0.0),
+                             0.0)
+        task_sum = jnp.sum(weighted, axis=-1)
 
     lp_prior = hyper_prior.log_prob(flat_particles)  # [K]
-    return prior_factor * lp_prior + pre_factor * jnp.sum(per_task, axis=-1)
+    return prior_factor * lp_prior + pre_factor * task_sum
 
 
 # --------------------------------------------------------------------------

@@ -49,6 +49,7 @@ _ABLATE = frozenset()
 
 
 _G_BUDGET = 8 * 2**20  # bytes per system-matrix (see _group_size)
+_VMEM_LIMIT = 100 * 1024 * 1024  # pallas scoped-vmem ceiling (sweepable)
 _G_MAX = 128  # systems ride the 128 lanes in the base-tile recurrences
 
 
@@ -103,82 +104,185 @@ def _chol_inv_lanes(Dt):
     whole kernel's bottleneck (round-3 VERDICT weak #2). Returns (Lt, Wt)
     with Lt = chol(Dt), Wt = Lt^{-1}, both [s, s, G] lower-triangular.
     """
-    s = Dt.shape[0]
+    s, g = Dt.shape[0], Dt.shape[2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
     rows_c = rows[:, :1, :]  # [s, 1, 1]
-    cols_r = cols[:1, :, :]  # [1, s, 1]
 
-    def chol_step(j, M):
+    # One FUSED Gauss-style sweep computes L and W together: when column j
+    # of L finalizes, the same elementary transformation eliminates column
+    # j of the identity — s serial steps total instead of s (chol) + s
+    # (substitution). fori_loop (not Python unroll): the unrolled form
+    # spilled ~68 MB of register-allocator slots at G=32 (measured v5e
+    # compile failure) because every step minted new live tile versions.
+    def step(j, MW):
+        M, W = MW
         pivot = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0),
-                        axis=(0, 1), keepdims=True)  # [1, 1, G]
+                        axis=(0, 1), keepdims=True)      # [1, 1, G]
         inv_p = jax.lax.rsqrt(pivot)
-        col = jnp.sum(jnp.where(cols == j, M, 0.0), axis=1, keepdims=True) * inv_p
-        col = jnp.where(rows_c >= j, col, 0.0)  # [s, 1, G]
+        col = jnp.sum(jnp.where(cols == j, M, 0.0), axis=1,
+                      keepdims=True) * inv_p             # [s, 1, G]
+        col = jnp.where(rows_c >= j, col, 0.0)           # final L column j
         trail = jnp.where(rows_c > j, col, 0.0)
-        M = M - trail * jnp.transpose(trail, (1, 0, 2))  # rank-1, all lanes
-        return jnp.where(cols == j, col, M)
+        M = jnp.where(cols == j, col,
+                      M - trail * jnp.transpose(col, (1, 0, 2)))
+        wrow = jnp.sum(jnp.where(rows == j, W, 0.0), axis=0,
+                       keepdims=True) * inv_p            # [1, s, G]
+        W = jnp.where(rows == j, wrow, W - trail * wrow)
+        return M, W
 
-    Lt = jax.lax.fori_loop(0, s, chol_step, Dt)
-    Lt = jnp.where(rows >= cols, Lt, 0.0)
+    W0 = jnp.broadcast_to(jnp.where(rows == cols, 1.0, 0.0),
+                          (s, s, g)).astype(Dt.dtype)
+    M, W = jax.lax.fori_loop(0, s, step, (Dt, W0))
+    Lt = jnp.where(rows >= cols, M, 0.0)
+    return Lt, W
 
-    def tri_step(i, W):
-        # row i of L, masked to k < i, re-laid k-major for the contraction
-        l_row = jnp.sum(jnp.where(rows == i, Lt, 0.0), axis=0, keepdims=True)
-        l_masked = jnp.where(cols_r < i, l_row, 0.0)  # [1, s, G]
-        lT = jnp.transpose(l_masked, (1, 0, 2))  # [s, 1, G] (free: size-1 axis)
-        contrib = jnp.sum(lT * W, axis=0, keepdims=True)  # sum_k L[i,k] W[k,:]
-        l_ii = jnp.sum(jnp.where(cols_r == i, l_row, 0.0),
-                       axis=1, keepdims=True)  # [1, 1, G]
-        e_i = jnp.where(cols_r == i, 1.0, 0.0)  # [1, s, 1]
-        w_i = (e_i - contrib) / l_ii
-        return jnp.where(rows == i, w_i, W)
 
-    Wt = jax.lax.fori_loop(0, s, tri_step, jnp.zeros_like(Lt))
-    return Lt, Wt
+def _chol_inv_batch(D):
+    """Fused Gauss sweep (same recurrence as _chol_inv_lanes) in BATCH-major
+    [G, s, s] layout. For small G the lane-major relayout is a loss — G of
+    128 lanes carry data while the s=16 tile columns could: at G=8 the
+    batch-major tile keeps 2x the VPU density and skips the two panel
+    transposes. Returns (L, L^{-1}), both [G, s, s] lower-triangular."""
+    s = D.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 2)
+    rows_c = rows[:, :, :1]  # [1, s, 1]
 
+    def step(j, MW):
+        M, W = MW
+        # two single-axis reduces: Mosaic rejects multi-axis reduction of a
+        # 3-D vector to [G, 1, 1] (layout_rank check)
+        pivot = jnp.sum(jnp.where((rows == j) & (cols == j), M, 0.0),
+                        axis=2, keepdims=True)
+        pivot = jnp.sum(pivot, axis=1, keepdims=True)    # [G, 1, 1]
+        inv_p = jax.lax.rsqrt(pivot)
+        col = jnp.sum(jnp.where(cols == j, M, 0.0), axis=2,
+                      keepdims=True) * inv_p             # [G, s, 1]
+        col = jnp.where(rows_c >= j, col, 0.0)
+        trail = jnp.where(rows_c > j, col, 0.0)
+        M = jnp.where(cols == j, col,
+                      M - trail * jnp.swapaxes(col, 1, 2))
+        wrow = jnp.sum(jnp.where(rows == j, W, 0.0), axis=1,
+                       keepdims=True) * inv_p            # [G, 1, s]
+        W = jnp.where(rows == j, wrow, W - trail * wrow)
+        return M, W
+
+    W0 = jnp.broadcast_to(jnp.where(rows == cols, 1.0, 0.0),
+                          D.shape).astype(D.dtype)
+    M, W = jax.lax.fori_loop(0, s, step, (D, W0))
+    return jnp.where(rows >= cols, M, 0.0), W
+
+
+def _rec_batch(D):
+    """Recursive Cholesky + inverse of a batch-major [G, s, s] block:
+    (L, W) with W = L^{-1}. Leaves run the fused Gauss sweep in batch-major
+    layout; inter-block couplings are G-batched MXU matmuls (at small G only
+    a handful of small dots serialize per coupling, unlike the G=32+ regime
+    where the lane-major VPU contraction wins)."""
+    s = D.shape[-1]
+    if s <= _BASE:
+        return _chol_inv_batch(D)
+    h = s // 2
+    A11 = D[:, :h, :h]
+    A21 = D[:, h:, :h]
+    A22 = D[:, h:, h:]
+    L11, W11 = _rec_batch(A11)
+    L21 = _bmm_nt(A21, W11)
+    L22, W22 = _rec_batch(A22 - _bmm_nt(L21, L21))
+    W21 = -_bmm(W22, _bmm(L21, W11))
+    zeros_t = jnp.swapaxes(jnp.zeros(A21.shape, D.dtype), 1, 2)
+    L = jnp.concatenate([jnp.concatenate([L11, zeros_t], axis=2),
+                         jnp.concatenate([L21, L22], axis=2)], axis=1)
+    W = jnp.concatenate([jnp.concatenate([W11, zeros_t], axis=2),
+                         jnp.concatenate([W21, W22], axis=2)], axis=1)
+    return L, W
+
+
+# Layout dispatch for the diagonal-panel factorization: groups with
+# G <= _BATCH_MAX_G systems stay batch-major (fused Gauss leaves + MXU
+# couplings, no transposes) — the fused big-N training kernels' Tp=8
+# regime; larger groups relayout to lane-major where the 128 lanes carry
+# the systems. Sweepable (tools/blocked_sweep.py).
+_BATCH_MAX_G = 8
 
 _BASE = 16  # scalar-loop base block of the recursive panel factorization
 
 
-def _chol_inv_panel(trail_ref, l_ref, wd_ref, po, r0, size):
-    """Recursive blocked factorization of the [G, size, size] diagonal block
-    at trail offset po+r0: writes L into l_ref (absolute offsets) and
-    W = L^{-1} into wd_ref (panel-relative columns), consuming the trailing
-    updates in place in trail_ref.
+def _lane_mm(A, B):
+    """C[i,j,g] = sum_k A[i,k,g] B[k,j,g] for lane-major blocks (k <= 32):
+    unrolled static-slice VPU contraction. The G-batched MXU alternative
+    serializes G small matmuls per dot (measured ~0.5 ms/grid-step of
+    couplings at G=32) — per-system matrices this small never fill the MXU,
+    so the VPU with all G systems in lanes wins."""
+    k_dim = A.shape[1]
+    acc = None
+    for k in range(k_dim):
+        term = A[:, k:k + 1, :] * B[k:k + 1, :, :]
+        acc = term if acc is None else acc + term
+    return acc
 
-    The sequential scalar loops (_chol_inv_lanes) run only on _BASE-sized
-    tiles, transposed to lane-major [s, s, G] so the G systems ride the
-    128 lanes, while all inter-block coupling (L21 = A21 W11^T, SYRK,
-    W21 = -W22 L21 W11) runs on the MXU in batch-major [G, s, s]. This is
-    the LAPACK-style recursive POTRF/TRTRI split, re-tiled for the VPU/MXU
-    balance of the TPU (round-2 VERDICT weak #4: flat masked loops left the
-    MXU idle; round-3 weak #2: batch-major tiles left 112/128 lanes idle).
-    """
-    if size <= _BASE:
-        D = trail_ref[:, po + r0:po + r0 + size, po + r0:po + r0 + size]
-        Lt, Wt = _chol_inv_lanes(jnp.transpose(D, (1, 2, 0)))
-        l_ref[:, po + r0:po + r0 + size, po + r0:po + r0 + size] = (
-            jnp.transpose(Lt, (2, 0, 1)))
-        wd_ref[:, po + r0:po + r0 + size, r0:r0 + size] = (
-            jnp.transpose(Wt, (2, 0, 1)))
-        return
-    h = size // 2
-    _chol_inv_panel(trail_ref, l_ref, wd_ref, po, r0, h)
-    W11 = wd_ref[:, po + r0:po + r0 + h, r0:r0 + h]
-    A21 = trail_ref[:, po + r0 + h:po + r0 + size, po + r0:po + r0 + h]
-    L21 = _bmm_nt(A21, W11)
-    l_ref[:, po + r0 + h:po + r0 + size, po + r0:po + r0 + h] = L21
-    A22 = trail_ref[:, po + r0 + h:po + r0 + size,
-                    po + r0 + h:po + r0 + size]
-    trail_ref[:, po + r0 + h:po + r0 + size,
-              po + r0 + h:po + r0 + size] = A22 - _bmm_nt(L21, L21)
-    _chol_inv_panel(trail_ref, l_ref, wd_ref, po, r0 + h, h)
-    W22 = wd_ref[:, po + r0 + h:po + r0 + size, r0 + h:r0 + size]
-    wd_ref[:, po + r0 + h:po + r0 + size, r0:r0 + h] = (
-        -_bmm(W22, _bmm(L21, W11)))
-    wd_ref[:, po + r0:po + r0 + h, r0 + h:r0 + size] = jnp.zeros(
-        W11.shape, W11.dtype)
+
+def _lane_mm_nt(A, B):
+    """C[i,j,g] = sum_k A[i,k,g] B[j,k,g] (B transposed on its block dims)."""
+    k_dim = A.shape[1]
+    acc = None
+    for k in range(k_dim):
+        bt = jnp.transpose(B[:, k:k + 1, :], (1, 0, 2))  # free: size-1 axis
+        term = A[:, k:k + 1, :] * bt
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _rec_lanes(At):
+    """Recursive Cholesky + inverse of a lane-major [s, s, G] block:
+    (Lt, Wt) with Wt = Lt^{-1}. Leaves run the fused Gauss sweep
+    (_chol_inv_lanes); the inter-block couplings (L21 = A21 W11^T, SYRK,
+    W21 = -W22 L21 W11) stay lane-major as unrolled static-slice VPU
+    contractions — every op covers all G systems at once and no
+    batch-major<->lane-major transposes happen below panel level."""
+    s = At.shape[0]
+    if s <= _BASE:
+        return _chol_inv_lanes(At)
+    h = s // 2
+    A11 = At[:h, :h, :]
+    A21 = At[h:, :h, :]
+    A22 = At[h:, h:, :]
+    L11, W11 = _rec_lanes(A11)
+    L21 = _lane_mm_nt(A21, W11)
+    L22, W22 = _rec_lanes(A22 - _lane_mm_nt(L21, L21))
+    W21 = -_lane_mm(W22, _lane_mm(L21, W11))
+    zeros = jnp.zeros(A21.shape, At.dtype)
+    z_t = jnp.transpose(zeros, (1, 0, 2))
+    Lt = jnp.concatenate([jnp.concatenate([L11, z_t], axis=1),
+                          jnp.concatenate([L21, L22], axis=1)], axis=0)
+    Wt = jnp.concatenate([jnp.concatenate([W11, z_t], axis=1),
+                          jnp.concatenate([W21, W22], axis=1)], axis=0)
+    return Lt, Wt
+
+
+def _factor_diag_panel(D):
+    """Factorize the [G, NB, NB] diagonal panel: ONE transpose into
+    lane-major [NB, NB, G], the full recursive factorization + inverse in
+    that layout, and one transpose back for each output. (The earlier
+    per-leaf-tile transposes plus G-batched MXU couplings cost ~1.1 ms of
+    the 3.3 ms forward at B=200/N=200 — measured via the _ABLATE knobs.)
+
+    Small groups (G <= _BATCH_MAX_G) skip the relayout entirely and run the
+    same fused-Gauss recursion batch-major — see _rec_batch."""
+    if D.shape[0] <= _BATCH_MAX_G and "force_lanes" not in _ABLATE:
+        return _rec_batch(D)
+    Dt = jnp.transpose(D, (1, 2, 0))
+    if "leaf_identity" in _ABLATE:  # profiling only: no factorization math
+        s, g = Dt.shape[0], Dt.shape[2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s, 1), 1)
+        eye = jnp.broadcast_to(jnp.where(rows == cols, 1.0, 0.0),
+                               (s, s, g)).astype(Dt.dtype)
+        Lt, Wt = eye, eye
+    else:
+        Lt, Wt = _rec_lanes(Dt)
+    return jnp.transpose(Lt, (2, 0, 1)), jnp.transpose(Wt, (2, 0, 1))
 
 
 def _diag3(M):
@@ -200,7 +304,10 @@ def factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, jit_g):
     l_ref[...] = jnp.zeros_like(l_ref)
     for p in range(n_panels):
         po = p * _NB
-        _chol_inv_panel(trail_ref, l_ref, wd_ref, po, 0, _NB)
+        Lp, Wdp = _factor_diag_panel(
+            trail_ref[:, po:po + _NB, po:po + _NB])
+        l_ref[:, po:po + _NB, po:po + _NB] = Lp
+        wd_ref[:, po:po + _NB, :] = Wdp
         if p < n_panels - 1:
             Wd = wd_ref[:, po:po + _NB, :]
             Bp = trail_ref[:, po + _NB:, po:po + _NB]  # [G, R, NB]
@@ -363,7 +470,7 @@ def _blocked_fwd_call(kn, r, n_real, interpret=False):
             transcendentals=2 * b * np_,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(kn, r)
 
@@ -398,7 +505,7 @@ def _blocked_bwd_call(L, Wd, z, gq, gl, interpret=False):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(L, Wd, z, gq, gl)
 
@@ -428,7 +535,10 @@ def _chol_only_kernel(kn_ref, l_ref, trail_ref, wd_ref):
     l_ref[...] = jnp.zeros_like(l_ref)
     for p in range(n_panels):
         po = p * _NB
-        _chol_inv_panel(trail_ref, l_ref, wd_ref, po, 0, _NB)
+        Lp, Wdp = _factor_diag_panel(
+            trail_ref[:, po:po + _NB, po:po + _NB])
+        l_ref[:, po:po + _NB, po:po + _NB] = Lp
+        wd_ref[:, po:po + _NB, :] = Wdp
         if p < n_panels - 1:
             Wd = wd_ref[:, po:po + _NB, :]
             Bp = trail_ref[:, po + _NB:, po:po + _NB]
@@ -460,7 +570,7 @@ def _chol_only_call(kn, interpret=False):
             transcendentals=b * np_,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(kn)
 

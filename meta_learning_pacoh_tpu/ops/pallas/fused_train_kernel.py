@@ -502,12 +502,18 @@ def make_score_section(*, K, T, N, D, hidden, prior_factor, prior_ls,
 
 
 def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
-                 n_steps, b1=0.9, b2=0.999, eps=1e-8,
+                 n_steps, counted=False, b1=0.9, b2=0.999, eps=1e-8,
                  ablate=()):
     """ablate: internal profiling knobs — subsets of
     {'no_jitter_trials', 'no_transport', 'no_backward', 'no_median'} that
     skip kernel sections to attribute per-iteration cost. Production always
-    uses ()."""
+    uses ().
+
+    counted=True streams a per-step [T] task-draw count page and weights
+    every per-task contribution by counts_t * w_t — the kernel analog of
+    the learner's no-gather count-weighted task batching (same host-side
+    randint draws as the XLA step, so both follow ONE random trajectory;
+    pattern shared with fused_map_kernel)."""
     assert F == 1
     n_hidden = len(hidden)
     M = T * N
@@ -525,9 +531,14 @@ def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
         m_refs = refs[S:2 * S]
         v_refs = refs[2 * S:3 * S]
         x_ref, y_ref, mask_ref, w_ref, scal_ref = refs[3 * S:3 * S + 5]
-        out_state = refs[3 * S + 5:4 * S + 5]
-        out_m = refs[4 * S + 5:5 * S + 5]
-        out_v = refs[5 * S + 5:6 * S + 5]
+        n_in = 3 * S + 5 + (1 if counted else 0)
+        counts_hbm = refs[3 * S + 5] if counted else None
+        out_state = refs[n_in:n_in + S]
+        out_m = refs[n_in + S:n_in + 2 * S]
+        out_v = refs[n_in + 2 * S:n_in + 3 * S]
+        if counted:
+            counts_scr = refs[n_in + 3 * S]
+            dma_sem = refs[n_in + 3 * S + 1]
 
         x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
         y_nm = y_ref[...]     # [M, 1], same row order
@@ -570,7 +581,19 @@ def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
         def body(i, carry):
             st_l, m_l, v_l = carry
             st = dict(zip(names, st_l))
-            score, _ = score_section(st, x, y_nm, msk, w_t, sumL, ones_m,
+            if counted:
+                # stream this step's task-draw counts HBM -> VMEM; a
+                # never-sampled task contributes EXACTLY 0 (0 * NaN guard,
+                # same rationale as meta_log_prob's counts= branch)
+                dma = pltpu.make_async_copy(counts_hbm.at[i], counts_scr,
+                                            dma_sem)
+                dma.start()
+                dma.wait()
+                c_t = counts_scr[0:T, 0:1]              # [T, 1]
+                w_i = jnp.where(c_t > 0, w_t * c_t, 0.0)
+            else:
+                w_i = w_t
+            score, _ = score_section(st, x, y_nm, msk, w_i, sumL, ones_m,
                                      pf=prior_factor)
 
             # ---------------- Stein transport ----------------
@@ -714,12 +737,16 @@ def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
 def fused_svgd_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
                             w_t, step0, *, K, T, N, D, hidden, lr,
                             prior_factor, wps, bps, n_steps, interpret=False,
-                            ablate=()):
-    """Run n_steps SVGD iterations in one kernel launch on packed state."""
+                            counts_pages=None, ablate=()):
+    """Run n_steps SVGD iterations in one kernel launch on packed state.
+
+    counts_pages [n_steps, Tpad8, 128] (counts in lane 0) switches on the
+    count-weighted sampled-task-batch mode."""
     names = state_names(len(hidden))
+    counted = counts_pages is not None
     kernel = _make_kernel(K=K, T=T, N=N, D=D, hidden=tuple(hidden), F=1,
                           wps=wps, bps=bps,
-                          n_steps=n_steps, ablate=ablate)
+                          n_steps=n_steps, counted=counted, ablate=ablate)
     state_in = [packed[nm] for nm in names]
     m_in = [m_packed[nm] for nm in names]
     v_in = [v_packed[nm] for nm in names]
@@ -729,17 +756,24 @@ def fused_svgd_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
                         ).reshape(1, 3)
     others = [x, y_nm, mask_nm, w_t, scalars]
     all_in = state_in + m_in + v_in + others
+    if counted:
+        all_in = all_in + [counts_pages]
     S = len(names)
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype) for t in state_in]
                   + [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in m_in]
                   + [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in v_in])
+    t_pad = -(-T // 8) * 8
+    scratch = ([pltpu.VMEM((t_pad, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA(())] if counted else [])
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S + 4)
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if counted else []),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 * S),
         input_output_aliases={i: i for i in range(3 * S)},
+        scratch_shapes=scratch,
         # the loop body's live set (grams, kbig mixing matrices, the K*H-wide
         # activations) slightly exceeds the default 16M scoped-vmem stack
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
@@ -752,11 +786,21 @@ def fused_svgd_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
 
 
 class FusedSVGDTrainer:
-    """Host-side driver: pack state once, run chunks, unpack on demand."""
+    """Host-side driver: pack state once, run chunks, unpack on demand.
+
+    task_batch_size < T (with base_key) switches on the count-weighted
+    sampled-batch mode: per-step task draws are generated host-side with
+    the XLA step's exact fold_in + randint discipline and streamed to the
+    kernel as count pages (learner analog: pacoh_svgd._weight_by_counts;
+    requires uniform task sizes so the harmonic-mean pre-factor is a
+    per-launch constant)."""
+
+    MAX_LAUNCH = 512  # bounds the streamed count-page buffer per launch
 
     def __init__(self, hyper_prior, particles, X, Y, mask, *, hidden, lr,
                  prior_factor, weight_prior_std, bias_prior_std,
-                 lr_decay=1.0, interpret=False, ablate=()):
+                 lr_decay=1.0, task_batch_size=None, base_key=None,
+                 interpret=False, ablate=()):
         import numpy as np
 
         self.hp = hyper_prior
@@ -769,12 +813,47 @@ class FusedSVGDTrainer:
         self.interpret = interpret
         self.ablate = tuple(ablate)
 
+        self.counted = (task_batch_size is not None
+                        and int(task_batch_size) != self.T)
+        self.base_key = base_key
+
         sizes = np.asarray(jnp.sum(mask, axis=-1))
-        harmonic = 1.0 / np.mean(1.0 / sizes)
-        pre = float(harmonic / (harmonic + self.T))
+        if self.counted:
+            assert base_key is not None
+            # sampled-multiset harmonic mean: constant across steps only
+            # for uniform sizes (the learner gate enforces this)
+            assert np.all(sizes == sizes[0]), (
+                "counted fused batching requires uniform task sizes")
+            harmonic = float(sizes[0])
+            batch_n = int(task_batch_size)
+        else:
+            harmonic = 1.0 / np.mean(1.0 / sizes)
+            batch_n = self.T
+        pre = float(harmonic / (harmonic + batch_n))
         # per-task MLL weight, folded on the host (0 for empty padded tasks)
         w = np.where(sizes > 0, pre / np.maximum(sizes, 1.0), 0.0)
         self.w_t = jnp.asarray(w.reshape(self.T, 1), jnp.float32)
+
+        if self.counted:
+            b_n, t_n = int(task_batch_size), self.T
+            t_pad = -(-t_n // 8) * 8
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def make_counts(base_key, start_step, n_steps):
+                steps = start_step + jnp.arange(n_steps)
+
+                def one(i):
+                    key = jax.random.fold_in(base_key, i)
+                    idx = jax.random.randint(key, (b_n,), 0, t_n)
+                    counts = jnp.sum(
+                        jax.nn.one_hot(idx, t_n, dtype=jnp.float32), axis=0)
+                    page = jnp.zeros((t_pad, 128), jnp.float32)
+                    return jax.lax.dynamic_update_slice(
+                        page, counts.reshape(t_n, 1), (0, 0))
+
+                return jax.vmap(one)(steps)
+
+            self._make_counts = make_counts
 
         self.packed = pack_state(hyper_prior, particles, self.hidden)
         self.m = jax.tree.map(jnp.zeros_like, self.packed)
@@ -805,8 +884,10 @@ class FusedSVGDTrainer:
             staircase_lr,
         )
 
-        for s, sub in staircase_launches(step0, n_steps, int(n_steps),
-                                         self.lr_decay):
+        cap = self.MAX_LAUNCH if self.counted else int(n_steps)
+        for s, sub in staircase_launches(step0, n_steps, cap, self.lr_decay):
+            pages = (self._make_counts(self.base_key, int(s), int(sub))
+                     if self.counted else None)
             self.packed, self.m, self.v = fused_svgd_train_packed(
                 self.packed, self.m, self.v, self.x, self.y_nm, self.mask_nm,
                 self.w_t, float(s), K=self.K, T=self.T, N=self.N, D=self.D,
@@ -814,6 +895,7 @@ class FusedSVGDTrainer:
                 lr=staircase_lr(self.lr, self.lr_decay, s),
                 prior_factor=self.prior_factor,
                 wps=self.wps, bps=self.bps, n_steps=int(sub),
+                counts_pages=pages,
                 interpret=self.interpret, ablate=self.ablate)
 
     def sync(self):

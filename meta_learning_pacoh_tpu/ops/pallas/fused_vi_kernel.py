@@ -218,9 +218,13 @@ def make_lane_sample_ops(*, S, hidden, layout):
 
 
 def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
-                    mll_const, lp_const, ent_const, n_steps,
+                    mll_const, lp_const, ent_const, n_steps, counted=False,
                     b1=0.9, b2=0.999, eps_adam=1e-8):
-    """S = svi sample count (the lane-block count of the score section)."""
+    """S = svi sample count (the lane-block count of the score section).
+
+    counted=True streams a second per-step page of task-draw counts and
+    weights per-task contributions by counts_t * w_t (no-gather sampled
+    task batches; uniform task sizes keep mll_const a launch constant)."""
     n_hidden = len(hidden)
     M = T * N
     names = state_names(n_hidden)
@@ -255,11 +259,16 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
         x_ref, y_ref, mask_ref, w_ref = refs[6 * NS:6 * NS + 4]
         eps_hbm = refs[6 * NS + 4]
         scal_ref = refs[6 * NS + 5]
-        out_refs = refs[6 * NS + 6:12 * NS + 6]
-        out_loss = refs[12 * NS + 6]
-        out_loss_sum = refs[12 * NS + 7]
-        eps_scr = refs[12 * NS + 8]
-        dma_sem = refs[12 * NS + 9]
+        n_in = 6 * NS + 6 + (1 if counted else 0)
+        counts_hbm = refs[6 * NS + 6] if counted else None
+        out_refs = refs[n_in:n_in + 6 * NS]
+        out_loss = refs[n_in + 6 * NS]
+        out_loss_sum = refs[n_in + 6 * NS + 1]
+        eps_scr = refs[n_in + 6 * NS + 2]
+        dma_sem = refs[n_in + 6 * NS + 3]
+        if counted:
+            counts_scr = refs[n_in + 6 * NS + 4]
+            dma_sem2 = refs[n_in + 6 * NS + 5]
 
         x = x_ref[...]        # [M, D], rows n-major (row n*T + t)
         y_nm = y_ref[...]     # [M, 1]
@@ -300,6 +309,17 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
             # stream this iteration's noise page (HBM -> VMEM)
             dma = pltpu.make_async_copy(eps_hbm.at[i], eps_scr, dma_sem)
             dma.start()
+            if counted:
+                # this step's task-draw counts (no-gather sampled batches;
+                # same pattern as fused_map_kernel / fused_train_kernel)
+                dma2 = pltpu.make_async_copy(counts_hbm.at[i], counts_scr,
+                                             dma_sem2)
+                dma2.start()
+                dma2.wait()
+                c_t = counts_scr[0:T, 0:1]              # [T, 1]
+                w_i = jnp.where(c_t > 0, w_t * c_t, 0.0)
+            else:
+                w_i = w_t
             dma.wait()
             page = eps_scr[...]
 
@@ -312,7 +332,7 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
             st, eps_lane = sample_st(loc, scale, eps_of, mats)
 
             # ---- per-sample particle score (shared section, K = S) -----
-            score, wql = score_section(st, x, y_nm, msk, w_t, sumL, ones_m,
+            score, wql = score_section(st, x, y_nm, msk, w_i, sumL, ones_m,
                                        pf=prior_factor)
 
             # ---- loss: neg-ELBO of this iteration ----------------------
@@ -386,13 +406,19 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
 def fused_vi_train_packed(loc_p, lsc_p, m_loc, m_lsc, v_loc, v_lsc, x, y_nm,
                           mask_nm, w_t, eps_pages, step0, *, S, T, N, D,
                           hidden, lr, prior_factor, wps, bps, mll_const,
-                          lp_const, ent_const, n_steps, interpret=False):
-    """Run n_steps VI iterations in one kernel launch on packed state."""
+                          lp_const, ent_const, n_steps, counts_pages=None,
+                          interpret=False):
+    """Run n_steps VI iterations in one kernel launch on packed state.
+
+    counts_pages [n_steps, Tpad8, 128] (counts in lane 0) switches on the
+    count-weighted sampled-task-batch mode."""
     names = state_names(len(hidden))
+    counted = counts_pages is not None
     kernel, r_pad, lanes = _make_vi_kernel(
         S=S, T=T, N=N, D=D, hidden=tuple(hidden),
         wps=wps, bps=bps, mll_const=mll_const,
-        lp_const=lp_const, ent_const=ent_const, n_steps=n_steps)
+        lp_const=lp_const, ent_const=ent_const, n_steps=n_steps,
+        counted=counted)
     state_in = ([loc_p[nm] for nm in names] + [lsc_p[nm] for nm in names]
                 + [m_loc[nm] for nm in names] + [m_lsc[nm] for nm in names]
                 + [v_loc[nm] for nm in names] + [v_lsc[nm] for nm in names])
@@ -402,20 +428,28 @@ def fused_vi_train_packed(loc_p, lsc_p, m_loc, m_lsc, v_loc, v_lsc, x, y_nm,
                         ).reshape(1, 3)
     others = [x, y_nm, mask_nm, w_t, eps_pages, scalars]
     all_in = state_in + others
+    if counted:
+        all_in = all_in + [counts_pages]
     NS = len(names)
     out_shapes = ([jax.ShapeDtypeStruct(t.shape, t.dtype)
                    for t in state_in]
                   + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
+    t_pad = -(-T // 8) * 8
+    scratch = [pltpu.VMEM((r_pad, lanes), jnp.float32),
+               pltpu.SemaphoreType.DMA(())]
+    if counted:
+        scratch += [pltpu.VMEM((t_pad, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 * NS + 4)
         + [pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if counted else []),
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 * NS + 2),
         input_output_aliases={i: i for i in range(6 * NS)},
-        scratch_shapes=[pltpu.VMEM((r_pad, lanes), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -438,7 +472,8 @@ class FusedVITrainer:
 
     def __init__(self, hyper_prior, post, X, Y, mask, *, hidden, lr,
                  prior_factor, weight_prior_std, bias_prior_std,
-                 svi_batch_size, base_key, lr_decay=1.0, interpret=False):
+                 svi_batch_size, base_key, lr_decay=1.0,
+                 task_batch_size=None, interpret=False):
         import numpy as np
 
         from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
@@ -458,13 +493,50 @@ class FusedVITrainer:
         self.last_loss = float("nan")
         self.avg_loss = float("nan")
 
+        self.counted = (task_batch_size is not None
+                        and int(task_batch_size) != self.T)
+
         sizes = np.asarray(jnp.sum(mask, axis=-1))
-        harmonic = 1.0 / np.mean(1.0 / sizes)
-        pre = float(harmonic / (harmonic + self.T))
+        if self.counted:
+            # sampled-multiset harmonic mean == n only for uniform sizes
+            # (the learner gate enforces this); the count-weighted MLL sum
+            # then keeps mll_const a per-launch constant: sum_t c_t w n
+            # = pre * batch_n
+            assert np.all(sizes == sizes[0]), (
+                "counted fused batching requires uniform task sizes")
+            harmonic = float(sizes[0])
+            batch_n = int(task_batch_size)
+        else:
+            harmonic = 1.0 / np.mean(1.0 / sizes)
+            batch_n = self.T
+        pre = float(harmonic / (harmonic + batch_n))
         w = np.where(sizes > 0, pre / np.maximum(sizes, 1.0), 0.0)
         self.w_t = jnp.asarray(w.reshape(self.T, 1), jnp.float32)
-        # sum_t w_t * n_eff_t * log(2 pi): the static part of the MLL sum
-        self.mll_const = float(np.sum((sizes > 0) * pre) * _LOG_2PI)
+        # static part of the count-weighted MLL sum (see counted note above)
+        self.mll_const = (float(pre * batch_n * _LOG_2PI) if self.counted
+                          else float(np.sum((sizes > 0) * pre) * _LOG_2PI))
+
+        if self.counted:
+            b_n, t_n = int(task_batch_size), self.T
+            t_pad = -(-t_n // 8) * 8
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def make_counts(base_key, start_step, n_steps):
+                steps = start_step + jnp.arange(n_steps)
+
+                def one(i):
+                    key = jax.random.fold_in(base_key, i)
+                    k_task, _ = jax.random.split(key)  # XLA step discipline
+                    idx = jax.random.randint(k_task, (b_n,), 0, t_n)
+                    counts = jnp.sum(
+                        jax.nn.one_hot(idx, t_n, dtype=jnp.float32), axis=0)
+                    page = jnp.zeros((t_pad, 128), jnp.float32)
+                    return jax.lax.dynamic_update_slice(
+                        page, counts.reshape(t_n, 1), (0, 0))
+
+                return jax.vmap(one)(steps)
+
+            self._make_counts = make_counts
 
         # static prior-log-prob and entropy constants
         p_dim = int(hyper_prior.dim)
@@ -552,6 +624,8 @@ class FusedVITrainer:
         )
 
         eps_pages = self._make_eps(self.base_key, int(step0), int(n_steps))
+        counts = (self._make_counts(self.base_key, int(step0), int(n_steps))
+                  if self.counted else None)
         (self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
          self.v_lsc, self.last_loss, self.avg_loss) = fused_vi_train_packed(
             self.loc_p, self.lsc_p, self.m_loc, self.m_lsc, self.v_loc,
@@ -562,7 +636,8 @@ class FusedVITrainer:
             prior_factor=self.prior_factor,
             wps=self.wps, bps=self.bps, mll_const=self.mll_const,
             lp_const=self.lp_const, ent_const=self.ent_const,
-            n_steps=int(n_steps), interpret=self.interpret)
+            n_steps=int(n_steps), counts_pages=counts,
+            interpret=self.interpret)
 
     def sync(self):
         """(post, m, v): post = {'loc','log_scale'}, m/v same structure."""

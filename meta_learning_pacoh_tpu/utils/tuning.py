@@ -215,7 +215,8 @@ def _newest_experiment_state(local_dir, preferred):
 
 def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
              search_alg="tpe", seed=0, local_dir="./tune_out", name="tune",
-             max_failures=3, resume=False, remote_dir=None, verbose=True):
+             max_failures=3, resume=False, remote_dir=None, verbose=True,
+             batch_size=1, batch_trial_fn=None):
     """Run `num_samples` trials of trial_fn(config) suggested over `space`.
 
     trial_fn returns a metrics dict, or yields metric dicts for periodic
@@ -223,6 +224,17 @@ def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
     recorded (status ERROR) and retried up to `max_failures` times with a
     fresh suggestion. State is checkpointed to
     `<local_dir>/experiment_state-<name>.json` after every trial.
+
+    batch_size > 1 with batch_trial_fn runs trials in BATCHES: per round,
+    `batch_size` suggestions are drawn back-to-back (no intervening tells —
+    the batched suggestion stream is exactly the sequential stream with
+    tells deferred to batch boundaries), executed together via
+    batch_trial_fn(list_of_configs) -> list_of_metric_dicts, and told to
+    the suggester in batch order. If batch_trial_fn raises, the whole batch
+    falls back to sequential trial_fn calls (per-trial failure accounting
+    unchanged). This is the TPU-native analog of the reference's concurrent
+    Ray trials (custom_tune/trial_runner.py:80-138): one vmapped program
+    instead of one actor per trial (utils/tuning_parallel.py).
 
     resume mirrors the reference's trial_runner modes
     (custom_tune/trial_runner.py:103,288):
@@ -285,8 +297,10 @@ def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
             json.dump({"trials": trials, "timestamp": time.time()}, f, default=str)
 
     failures = 0
-    while len([t for t in trials if t["status"] == "DONE"]) < num_samples:
-        config = suggester.suggest()
+
+    def run_one(config):
+        """One sequential trial; returns True iff it succeeded."""
+        nonlocal failures
         trial = {"config": config, "status": "RUNNING", "last_result": None,
                  "history": []}
         trials.append(trial)
@@ -307,6 +321,7 @@ def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
                 print(f"[tune {name}] trial {n_done}/{num_samples} "
                       f"{metric}={ (trial['last_result'] or {}).get(metric) } "
                       f"({trial['duration']:.1f}s)")
+            return True
         except Exception as e:  # failure handling (ref trial_runner.py:494)
             trial["status"] = "ERROR"
             trial["error"] = repr(e)
@@ -316,6 +331,40 @@ def tune_run(trial_fn, space, num_samples=20, metric="test_ll", mode="max",
             if failures > max_failures:
                 checkpoint()
                 raise
+            return False
+
+    def n_done():
+        return len([t for t in trials if t["status"] == "DONE"])
+
+    while n_done() < num_samples:
+        if batch_size <= 1 or batch_trial_fn is None:
+            run_one(suggester.suggest())
+            checkpoint()
+            continue
+        k = min(batch_size, num_samples - n_done())
+        configs = [suggester.suggest() for _ in range(k)]
+        t0 = time.time()
+        try:
+            results = batch_trial_fn([dict(c) for c in configs])
+            assert len(results) == k, "batch_trial_fn must return one " \
+                                      "result per config"
+        except Exception as e:  # whole-batch fallback to sequential trials
+            if verbose:
+                print(f"[tune {name}] batch of {k} failed ({e!r}); "
+                      f"falling back to sequential trials")
+            for config in configs:
+                run_one(config)
+            checkpoint()
+            continue
+        dur = (time.time() - t0) / k
+        for config, result in zip(configs, results):
+            trials.append({"config": config, "status": "DONE",
+                           "last_result": result, "history": [result],
+                           "duration": dur})
+            suggester.tell(config, (result or {}).get(metric))
+        if verbose:
+            print(f"[tune {name}] batch of {k} done "
+                  f"({n_done()}/{num_samples}, {dur:.1f}s/trial)")
         checkpoint()
 
     return Analysis(trials)

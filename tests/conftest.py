@@ -83,6 +83,17 @@ _SLOW = {
     # test_fused_mlap.py — 3x 100-step learner fits / 4 fused learner fits
     "test_mlap_fused_learner_close_to_xla_within_chaos_bound",
     "test_mlap_fused_resume_and_chunking_deterministic",
+    # test_fused_map_bign.py — heavy interpret-mode blocked-linalg runs
+    # (loss/gradient/gate parity stays in the fast tier)
+    "test_bign_kernel_trajectory_matches_xla_step",
+    "test_multi_panel_gradient_matches_jax_grad",
+    "test_bign_fused_counted_matches_xla_trajectory",
+    # test_counted_batching.py — fused counted trajectories (the XLA
+    # counted==gather equivalences stay fast)
+    "test_svgd_fused_counted_matches_xla_trajectory",
+    "test_vi_fused_counted_matches_xla_trajectory",
+    # test_tuning_parallel.py — multi-fit continuation check
+    "test_opt_state_writeback_supports_continued_training",
     # test_seed_parallel.py — vmapped multi-seed fits (big stacked compiles;
     # svgd/vi/maml/per-seed-data variants keep the fast-tier coverage)
     "test_seed_mesh_sharded_matches_unsharded",

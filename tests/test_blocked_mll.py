@@ -81,6 +81,43 @@ def test_multi_panel_n200_matches_xla():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_batch_major_and_lane_major_layouts_agree(monkeypatch):
+    """The diagonal-panel factorization dispatches on group size G:
+    batch-major (fused Gauss + MXU couplings) at G <= _BATCH_MAX_G,
+    lane-major above. Both layouts must produce the same values and grads
+    (the small-b tests above now ride batch-major; this pins the pair)."""
+    from meta_learning_pacoh_tpu.ops.pallas import blocked_mll_kernel as bk
+
+    b, n = 2, 150  # multi-panel, padded N
+    Kn = jnp.asarray(_psd(b, n, seed=12))
+    r = jnp.asarray(np.random.RandomState(3).randn(b, n).astype(np.float32))
+
+    def loss(K, rr):
+        q, l = blocked_mll_quad_logdet(K, rr)
+        return jnp.sum(0.7 * q + 0.3 * l)
+
+    outs = {}
+    for label, max_g in (("batch", 8), ("lanes", 0)):
+        monkeypatch.setattr(bk, "_BATCH_MAX_G", max_g)
+        jax.clear_caches()
+        outs[label] = (blocked_mll_quad_logdet(Kn, r),
+                       jax.grad(loss, argnums=(0, 1))(Kn, r))
+    (qb, lb), (gKb, grb) = outs["batch"]
+    (ql, ll), (gKl, grl) = outs["lanes"]
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(ql), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(ll),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gKb), np.asarray(gKl),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(grb), np.asarray(grl),
+                               rtol=2e-4, atol=2e-5)
+    quad_ref, logdet_ref = _xla_quad_logdet(Kn, r)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(quad_ref),
+                               rtol=5e-5)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(logdet_ref),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_jitter_escalation_per_system():
     """A singular system escalates its own jitter; healthy systems in the
     same VMEM group keep exact (jitter-free) results."""

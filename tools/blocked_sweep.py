@@ -95,3 +95,10 @@ if __name__ == "__main__":
           flush=True)
     for nm, gb, base, abl in configs:
         run_config(nm, gb, base, abl, K, r)
+
+
+def run_vmem_config(name, g_budget_mb, vmem_mb, K, r):
+    bk._G_BUDGET = g_budget_mb * 2**20
+    bk._VMEM_LIMIT = vmem_mb * 1024 * 1024
+    jax.clear_caches()
+    run_config(name, g_budget_mb, bk._BASE, [], K, r)
