@@ -3,7 +3,7 @@ ablation knobs. Each config re-traces (jax.clear_caches) and times the
 forward and value+grad at B=200/N=200.
 
 Usage: python -m tools.blocked_sweep [configs...]
-  config syntax: name=gbudget_mb:base:ablate1+ablate2
+  config syntax: name=gbudget_mb:base:ablate1+ablate2[:batch_max_g]
   default set runs a curated sweep.
 """
 import sys
@@ -46,10 +46,12 @@ def time_scanned(make_body, K, reps=20, samples=3):
     return float(np.min(out))
 
 
-def run_config(name, g_budget_mb, base, ablate, K, r):
+def run_config(name, g_budget_mb, base, ablate, K, r, batch_max_g=None):
     bk._G_BUDGET = g_budget_mb * 2**20
     bk._BASE = base
     bk._ABLATE = frozenset(ablate)
+    if batch_max_g is not None:
+        bk._BATCH_MAX_G = batch_max_g
     jax.clear_caches()
 
     def fwd_body(Kc):
@@ -78,23 +80,26 @@ if __name__ == "__main__":
     configs = []
     for arg in sys.argv[1:]:
         nm, spec = arg.split("=")
-        gb, base, abl = spec.split(":")
+        parts = spec.split(":")
+        gb, base, abl = parts[0], parts[1], parts[2]
+        bmg = int(parts[3]) if len(parts) > 3 else None
         configs.append((nm, int(gb), int(base),
-                        [a for a in abl.split("+") if a]))
+                        [a for a in abl.split("+") if a], bmg))
     if not configs:
         configs = [
-            ("G32_base16", 8, 16, []),
-            ("G64_base16", 16, 16, []),
-            ("G32_base16_nozsubst", 8, 16, ["no_zsubst"]),
-            ("G32_base16_nojitter", 8, 16, ["no_jitter_trials"]),
-            ("G32_base16_nolinalg", 8, 16, ["no_zsubst", "no_jitter_trials"]),
-            ("G32_base32", 8, 32, []),
-            ("G32_base8", 8, 8, []),
+            ("G32_base16", 8, 16, [], None),
+            ("G64_base16", 16, 16, [], None),
+            ("G32_base16_nozsubst", 8, 16, ["no_zsubst"], None),
+            ("G32_base16_nojitter", 8, 16, ["no_jitter_trials"], None),
+            ("G32_base16_nolinalg", 8, 16,
+             ["no_zsubst", "no_jitter_trials"], None),
+            ("G32_base32", 8, 32, [], None),
+            ("G32_base8", 8, 8, [], None),
         ]
     print(f"sweep at B={B} N={N} (timing: min of 3 samples x 10 reps)",
           flush=True)
-    for nm, gb, base, abl in configs:
-        run_config(nm, gb, base, abl, K, r)
+    for nm, gb, base, abl, bmg in configs:
+        run_config(nm, gb, base, abl, K, r, batch_max_g=bmg)
 
 
 def run_vmem_config(name, g_budget_mb, vmem_mb, K, r):
