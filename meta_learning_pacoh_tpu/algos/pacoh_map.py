@@ -407,8 +407,13 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
         import time
 
         use_fused = self._fused_path_ok()
+        # device->host loss readbacks fence the pipeline; over the tunneled
+        # TPU runtime each costs 10-30 ms. Only pay per-chunk when the
+        # metrics are actually consumed (log message / validation); otherwise
+        # keep device handles and read the final loss ONCE after the loop.
+        want_metrics = verbose or (valid_tuples is not None)
         t = time.time()
-        loss = float("nan")
+        dev_loss = None
         remaining = n_iter
         itr = 0
         try:
@@ -423,11 +428,11 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                     # chunk); the finally-clause syncs on abnormal exits
                     if valid_tuples is not None or remaining <= chunk:
                         self._fused_sync(self._step_count)
-                    self._fused.packed["nz"].block_until_ready()
-                    loss = float(self._fused.last_loss)
-                    avg_loss = float(self._fused.avg_loss)
+                    dev_loss = self._fused.last_loss
                     remaining -= chunk
                     itr += chunk
+                    if want_metrics:
+                        avg_loss = float(self._fused.avg_loss)
                 else:
                     self.params, self.opt_state, losses = self._step_fn(
                         self.params, self.opt_state, self.X, self.Y, self.mask,
@@ -436,21 +441,24 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                     remaining -= chunk
                     itr += chunk
                     self._step_count += chunk
-                    loss = float(losses[-1])
-                    avg_loss = float(jnp.mean(losses))
+                    dev_loss = losses[-1]
+                    if want_metrics:
+                        avg_loss = float(jnp.mean(losses))
 
-                duration = time.time() - t
-                t = time.time()
-                message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
-                    itr, n_iter, avg_loss, duration,
-                )
-                if valid_tuples is not None:
-                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                    message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
-                                " - Calib-Err %.3f"
-                                % (valid_ll, valid_rmse, calib))
-                if verbose:
-                    self.logger.info(message)
+                if want_metrics:
+                    duration = time.time() - t
+                    t = time.time()
+                    message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                        itr, n_iter, avg_loss, duration,
+                    )
+                    if valid_tuples is not None:
+                        valid_ll, valid_rmse, calib = self.eval_datasets(
+                            valid_tuples)
+                        message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
+                                    " - Calib-Err %.3f"
+                                    % (valid_ll, valid_rmse, calib))
+                    if verbose:
+                        self.logger.info(message)
         finally:
             # an interrupted fused run must not leave self.params stale
             # relative to _step_count (state_dict/predict read them)
@@ -458,7 +466,7 @@ class GPRegressionMetaLearned(RegressionModelMetaLearned):
                 self._fused_sync(self._step_count)
 
         self.fitted = True
-        return loss
+        return float("nan") if dev_loss is None else float(dev_loss)
 
     # ---------------------------------------------------------------- predict
     def _build_predict_fn(self):

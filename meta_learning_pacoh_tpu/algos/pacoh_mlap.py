@@ -464,8 +464,12 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
             n_iter = self.num_iter_fit
 
         use_fused = self._fused_path_ok()
+        # loss/diag readbacks fence the pipeline (10-30 ms tunnel round trip
+        # each): only per-chunk when the log message is consumed; otherwise
+        # keep device handles and read once after the loop
+        want_metrics = verbose or (valid_tuples is not None)
         t = time.time()
-        loss, diag = float("nan"), {}
+        dev_loss, dev_diag = None, {}
         remaining, itr = n_iter, 0
         try:
             while remaining > 0:
@@ -476,33 +480,37 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
                     self._fused_dirty = True
                     if valid_tuples is not None or remaining <= chunk:
                         self._fused_sync(self._step_count)
-                    loss = float(self._fused.last_loss)
-                    diag = {k: float(v)
-                            for k, v in self._fused.last_diag.items()}
+                    dev_loss = self._fused.last_loss
+                    dev_diag = dict(self._fused.last_diag)
                 else:
                     self.params, self.opt_state, losses, diags = self._step_fn(
                         self.params, self.opt_state, self.X, self.Y,
                         self.mask, self._train_key, self._step_count, chunk
                     )
                     self._step_count += chunk
-                    loss = float(losses[-1])
-                    diag = {k: float(v[-1]) for k, v in diags.items()}
+                    dev_loss = losses[-1]
+                    dev_diag = {k: v[-1] for k, v in diags.items()}
                 remaining -= chunk
                 itr += chunk
 
-                duration = time.time() - t
-                t = time.time()
-                message = "Iter %d/%d - Loss: %.6f - Time %.2f sec - " % (
-                    itr, n_iter, loss, duration,
-                )
-                if valid_tuples is not None and itr % eval_period == 0:
-                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                    message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
-                        valid_ll, valid_rmse, calib,
+                if want_metrics:
+                    loss = float(dev_loss)
+                    diag = {k: float(v) for k, v in dev_diag.items()}
+                    duration = time.time() - t
+                    t = time.time()
+                    message = "Iter %d/%d - Loss: %.6f - Time %.2f sec - " % (
+                        itr, n_iter, loss, duration,
                     )
-                message += " - ".join("%s: %.4f" % (k, v) for k, v in diag.items())
-                if verbose:
-                    self.logger.info(message)
+                    if valid_tuples is not None and itr % eval_period == 0:
+                        valid_ll, valid_rmse, calib = self.eval_datasets(
+                            valid_tuples)
+                        message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
+                                    " - Calib-Err %.3f" % (
+                                        valid_ll, valid_rmse, calib))
+                    message += " - ".join("%s: %.4f" % (k, v)
+                                          for k, v in diag.items())
+                    if verbose:
+                        self.logger.info(message)
         finally:
             # an interrupted fused run must not leave self.params stale
             # relative to _step_count (state_dict/predict read them)
@@ -510,7 +518,8 @@ class GPRegressionMetaLearnedPAC(RegressionModelMetaLearned):
                 self._fused_sync(self._step_count)
 
         self.fitted = True
-        return loss, diag
+        loss = float("nan") if dev_loss is None else float(dev_loss)
+        return loss, {k: float(v) for k, v in dev_diag.items()}
 
     # ------------------------------------------------------- meta-test (fit q)
     def _build_meta_test_fn(self):

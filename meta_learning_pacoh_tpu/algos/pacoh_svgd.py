@@ -276,6 +276,9 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             n_iter = self.num_iter_fit
 
         use_fused = self._fused_path_ok()
+        # per-chunk fences cost a 10-30 ms tunnel round trip each; only pay
+        # them when the chunk's wall-clock message is actually consumed
+        want_metrics = verbose or (valid_tuples is not None)
         t = time.time()
         remaining, itr = n_iter, 0
         try:
@@ -290,29 +293,34 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
                     # chunk); the finally-clause syncs on abnormal exits
                     if valid_tuples is not None or remaining <= chunk:
                         self._fused_sync(self._step_count)
-                    # fence on the kernel-resident state (self.particles may
-                    # be an already-ready stale array between lazy syncs)
-                    self._fused.packed["nz"].block_until_ready()
+                    if want_metrics:
+                        # fence on the kernel-resident state (self.particles
+                        # may be a ready stale array between lazy syncs)
+                        self._fused.packed["nz"].block_until_ready()
                 else:
                     self.particles, self.opt_state, _ = self._step_fn(
                         self.particles, self.opt_state, self.X, self.Y,
                         self.mask, self._train_key, self._step_count, chunk
                     )
-                    self.particles.block_until_ready()
+                    if want_metrics:
+                        self.particles.block_until_ready()
                     self._step_count += chunk
                 remaining -= chunk
                 itr += chunk
 
-                duration = time.time() - t
-                t = time.time()
-                message = "Iter %d/%d - Time %.2f sec" % (itr, n_iter, duration)
-                if valid_tuples is not None:
-                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                    message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
-                                " - Calib-Err %.3f"
-                                % (valid_ll, valid_rmse, calib))
-                if verbose:
-                    self.logger.info(message)
+                if want_metrics:
+                    duration = time.time() - t
+                    t = time.time()
+                    message = "Iter %d/%d - Time %.2f sec" % (
+                        itr, n_iter, duration)
+                    if valid_tuples is not None:
+                        valid_ll, valid_rmse, calib = self.eval_datasets(
+                            valid_tuples)
+                        message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
+                                    " - Calib-Err %.3f"
+                                    % (valid_ll, valid_rmse, calib))
+                    if verbose:
+                        self.logger.info(message)
         finally:
             # an interrupted fused run must not leave self.particles stale
             # relative to _step_count (state_dict/predict read them)

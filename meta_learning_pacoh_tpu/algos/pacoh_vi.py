@@ -283,8 +283,11 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             n_iter = self.num_iter_fit
 
         use_fused = self._fused_path_ok()
+        # loss readbacks fence the pipeline (10-30 ms tunnel round trip):
+        # only per-chunk when the log message is consumed, once otherwise
+        want_metrics = verbose or (valid_tuples is not None)
         t = time.time()
-        loss = float("nan")
+        dev_loss = None
         remaining, itr = n_iter, 0
         try:
             while remaining > 0:
@@ -295,28 +298,31 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
                     self._fused_dirty = True
                     if valid_tuples is not None or remaining <= chunk:
                         self._fused_sync(self._step_count)
-                    loss = float(self._fused.last_loss)
+                    dev_loss = self._fused.last_loss
                 else:
                     self.posterior, self.opt_state, losses = self._step_fn(
                         self.posterior, self.opt_state, self.X, self.Y,
                         self.mask, self._train_key, self._step_count, chunk
                     )
                     self._step_count += chunk
-                    loss = float(losses[-1])
+                    dev_loss = losses[-1]
                 remaining -= chunk
                 itr += chunk
 
-                duration = time.time() - t
-                t = time.time()
-                message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
-                    itr, n_iter, loss, duration)
-                if valid_tuples is not None:
-                    valid_ll, valid_rmse, calib = self.eval_datasets(valid_tuples)
-                    message += " - Valid-LL: %.3f - Valid-RMSE: %.3f - Calib-Err %.3f" % (
-                        valid_ll, valid_rmse, calib,
-                    )
-                if verbose:
-                    self.logger.info(message)
+                if want_metrics:
+                    loss = float(dev_loss)
+                    duration = time.time() - t
+                    t = time.time()
+                    message = "Iter %d/%d - Loss: %.6f - Time %.2f sec" % (
+                        itr, n_iter, loss, duration)
+                    if valid_tuples is not None:
+                        valid_ll, valid_rmse, calib = self.eval_datasets(
+                            valid_tuples)
+                        message += (" - Valid-LL: %.3f - Valid-RMSE: %.3f"
+                                    " - Calib-Err %.3f" % (
+                                        valid_ll, valid_rmse, calib))
+                    if verbose:
+                        self.logger.info(message)
         finally:
             # an interrupted fused run must not leave self.posterior stale
             # relative to _step_count (state_dict/predict read it)
@@ -324,7 +330,7 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
                 self._fused_sync(self._step_count)
 
         self.fitted = True
-        return loss
+        return float("nan") if dev_loss is None else float(dev_loss)
 
     # ---------------------------------------------------------------- predict
     def _build_predict_fn(self):

@@ -66,13 +66,21 @@ _LOG_2PI = math.log(2.0 * math.pi)
 # VMEM gate: 4 [Tp, Np, Np] f32 scratch/working buffers must fit comfortably
 _VMEM_GATE_BYTES = 72 * 2**20
 
+# Profiling-only section ablations (tools/bign_sweep.py): replace a kernel
+# section with a shape-preserving stand-in that keeps dataflow alive, so the
+# section's per-iteration cost is the delta against the unablated run.
+# Never set outside sweeps — every knob changes the math.
+_ABLATE_BIGN = frozenset()
+
 
 def bign_shapes(T, N):
-    """(Tp, Np) padded shapes: tasks to a multiple of 8 (sublane tiling of
-    the batch-major matmuls), points to a multiple of the 64 panel size."""
-    tp = -(-T // 8) * 8
+    """(Tp, Np) padded shapes: points to a multiple of the 64 panel size.
+    Tasks are NOT padded: Tp rides the pure batch dimension of the
+    [Tp, Np, Np] working set (tiling only constrains the trailing two
+    dims), so rounding T=5 up to 8 would waste 37% of every batched
+    matmul, factorization and elementwise pass."""
     np_ = max(_NB, -(-N // _NB) * _NB)
-    return tp, np_
+    return max(1, T), np_
 
 
 def bign_fits(T, N):
@@ -200,10 +208,16 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
 
             z_f = (phi / sp_ls).reshape(Tp, Np, F)    # [Tp, Np, F]
             n2 = jnp.sum(z_f * z_f, axis=2, keepdims=True)  # [Tp, Np, 1]
-            zz = _bmm_nt(z_f, z_f)                    # [Tp, Np, Np] (MXU)
+            if "no_zz" in _ABLATE_BIGN:  # profiling only
+                zz = n2 * jnp.swapaxes(n2, 1, 2)
+            else:
+                zz = _bmm_nt(z_f, z_f)                # [Tp, Np, Np] (MXU)
             d2_raw = n2 + jnp.swapaxes(n2, 1, 2) - 2.0 * zz
             d2 = jnp.maximum(d2_raw, 0.0)             # ops/kernels.sq_dists
-            Km = sp_os * jnp.exp(-0.5 * d2)
+            if "no_exp" in _ABLATE_BIGN:  # profiling only
+                Km = sp_os * (1.0 - 0.5 * d2)
+            else:
+                Km = sp_os * jnp.exp(-0.5 * d2)
             diag_m = eye * (m_col * diag_add + (1.0 - m_col))
             kn_scr[...] = Km * m2 + diag_m            # add_noise_masked
 
@@ -212,7 +226,10 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
 
             mu_col = mu.reshape(Tp, Np, 1)
             r_row = jnp.swapaxes((y_col - mu_col) * m_col, 1, 2)  # [Tp,1,Np]
-            z_sub = zsubst_blocked(l_scr, wd_scr, r_row)          # [Tp,1,Np]
+            if "no_zsubst" in _ABLATE_BIGN:  # profiling only
+                z_sub = r_row + 0.0 * l_scr[:, 0:1, :]
+            else:
+                z_sub = zsubst_blocked(l_scr, wd_scr, r_row)      # [Tp,1,Np]
             quad = jnp.sum(z_sub * z_sub, axis=2, keepdims=True)  # [Tp,1,1]
             logdet = logdet_blocked(l_scr)                        # [Tp,1,1]
 
@@ -222,11 +239,17 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
 
             # ---------------- backward (d(sum_t ll_t)/d·) ----------------
             # W = L^{-1} assembled into kn_scr (kn is dead post-factorization)
-            assemble_w_inv(l_scr, wd_scr, kn_scr)
-            W = kn_scr[...]
+            if "no_assemble" in _ABLATE_BIGN:  # profiling only
+                W = l_scr[...]
+            else:
+                assemble_w_inv(l_scr, wd_scr, kn_scr)
+                W = kn_scr[...]
             alpha_row = _bmm(z_sub, W)                # [Tp, 1, Np] = (W^T z)^T
-            Kinv = jnp.einsum("gkm,gkn->gmn", W, W,
-                              preferred_element_type=jnp.float32)
+            if "no_kinv" in _ABLATE_BIGN:  # profiling only
+                Kinv = W
+            else:
+                Kinv = jnp.einsum("gkm,gkn->gmn", W, W,
+                                  preferred_element_type=jnp.float32)
             outer = jnp.swapaxes(alpha_row, 1, 2) * alpha_row
             score_K = 0.5 * w_i3 * (outer - Kinv)     # d ll / d Kn
 
@@ -241,9 +264,13 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
             d_os = (jnp.sum(dos_sum, axis=0, keepdims=True).reshape(1, 1)
                     * _sigmoid(st["os"]) / sp_os)
 
-            dd2 = jnp.where(d2_raw > 0, -0.5 * dKm * Km, 0.0)
-            rs = jnp.sum(dd2, axis=2, keepdims=True)  # [Tp, Np, 1]
-            dz_f = 4.0 * (rs * z_f - _bmm(dd2, z_f))  # [Tp, Np, F]
+            if "no_dd2" in _ABLATE_BIGN:  # profiling only
+                dz_f = 4.0 * z_f + 0.0 * jnp.sum(
+                    dKm[:, :, 0:1], axis=2, keepdims=True)
+            else:
+                dd2 = jnp.where(d2_raw > 0, -0.5 * dKm * Km, 0.0)
+                rs = jnp.sum(dd2, axis=2, keepdims=True)  # [Tp, Np, 1]
+                dz_f = 4.0 * (rs * z_f - _bmm(dd2, z_f))  # [Tp, Np, F]
             dls_sum = jnp.sum(jnp.sum(dz_f * (-z_f), axis=1, keepdims=True),
                               axis=0, keepdims=True)  # [1, 1, F]
             d_ls = dls_sum.reshape(1, F) / sp_ls * _sigmoid(st["ls"])
@@ -256,13 +283,21 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
             a_last_m = m_acts[-1]
             score["m_wout"] = _mm(ones_m, a_last_m * DMU)
             score["m_bout"] = _mm(ones_m, DMU)
-            hidden_backward(st, "m", m_acts, DMU * st["m_wout"], score)
+            if "no_mlp_bwd" in _ABLATE_BIGN:  # profiling only
+                for tag, n_h in (("m", n_mh), ("k", n_kh)):
+                    for li in range(n_h):
+                        score[f"{tag}_w{li}"] = 0.0 * st[f"{tag}_w{li}"]
+                        score[f"{tag}_b{li}"] = 0.0 * st[f"{tag}_b{li}"]
+                score["k_wout"] = _mm_tn(k_acts[-1], DPHI)
+                score["k_bout"] = _mm(ones_m, DPHI)
+            else:
+                hidden_backward(st, "m", m_acts, DMU * st["m_wout"], score)
 
-            a_last_k = k_acts[-1]
-            score["k_wout"] = _mm_tn(k_acts[-1], DPHI)
-            score["k_bout"] = _mm(ones_m, DPHI)
-            hidden_backward(st, "k", k_acts, _mm_nt(DPHI, st["k_wout"]),
-                            score)
+                a_last_k = k_acts[-1]
+                score["k_wout"] = _mm_tn(k_acts[-1], DPHI)
+                score["k_bout"] = _mm(ones_m, DPHI)
+                hidden_backward(st, "k", k_acts, _mm_nt(DPHI, st["k_wout"]),
+                                score)
             score["ls"], score["os"], score["nz"] = d_ls, d_os, d_nz
 
             g = {nm: -score[nm] for nm in names}
@@ -328,7 +363,9 @@ def fused_map_bign_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
         pltpu.VMEM((Tp, Np, _NB), jnp.float32),  # Wd
     ]
     if counted:
-        scratch += [pltpu.VMEM((Tp, 128), jnp.float32),
+        # count pages keep a sublane-8-aligned row count (the DMA'd page is
+        # tiny; the big [Tp, Np, Np] working set uses the EXACT task count)
+        scratch += [pltpu.VMEM((-(-Tp // 8) * 8, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA(())]
     outs = pl.pallas_call(
         kernel,
@@ -379,7 +416,8 @@ class FusedMAPBigNTrainer(FusedMAPTrainer):
         if self.counted:
             # count pages must span Tp rows (base class padded to T//8*8,
             # which may be smaller than Tp); rebuild with Tp rows
-            b_n, t_n, t_pad = int(kw["task_batch_size"]), self.T, self.Tp
+            b_n, t_n = int(kw["task_batch_size"]), self.T
+            t_pad = -(-self.Tp // 8) * 8  # sublane-aligned page rows
 
             @functools.partial(jax.jit, static_argnames=("n_steps",))
             def make_counts(base_key, start_step, n_steps):

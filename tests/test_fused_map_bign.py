@@ -66,8 +66,10 @@ def ragged_model():
 
 
 def test_shapes_and_gate():
-    assert bign_shapes(3, 12) == (8, 64)
-    assert bign_shapes(5, 200) == (8, 256)
+    # tasks ride the pure batch dim: NO padding (T=5 padded to 8 wasted
+    # 37% of every batched pass); points pad to the 64 panel size
+    assert bign_shapes(3, 12) == (3, 64)
+    assert bign_shapes(5, 200) == (5, 256)
     assert bign_fits(5, 200)
     assert bign_fits(16, 512)
     assert not bign_fits(64, 512)  # VMEM gate

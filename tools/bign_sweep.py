@@ -4,13 +4,16 @@ Times the raw single-launch kernel (fused_map_bign_train_packed) per
 iteration at the Swissfel shape (T=5, N=200) under module-constant
 overrides and section ablations, to attribute the per-iter cost between
 the blocked factorization, its leaves, the jitter-escalation check, and
-the non-linalg remainder (MLP/gram/backward/Adam).
+the non-linalg sections (gram MXU / exp / zsubst / W-assembly / Kinv /
+dd2 chain / MLP backward).
 
 Usage: python -m tools.bign_sweep [configs...]
   config syntax: name=nb:base:batch_max_g:ablate1+ablate2
-  ablates: the blocked-kernel _ABLATE knobs plus 'leaf_identity_batch'
-  (identity leaves in the batch-major path) and 'factor_identity'
-  (skip the factorization entirely — L = W = I).
+  ablates: the blocked-kernel _ABLATE knobs, the bign-kernel _ABLATE_BIGN
+  knobs (no_zz no_exp no_zsubst no_assemble no_kinv no_dd2 no_mlp_bwd),
+  plus 'leaf_identity_batch' (identity leaves in the batch-major path),
+  'factor_identity' (skip the factorization entirely — L = W = I) and
+  'tp8' (re-pad the task batch to a multiple of 8, the pre-round-4 layout).
 """
 import sys
 import time
@@ -25,6 +28,10 @@ from meta_learning_pacoh_tpu.algos.pacoh_map import GPRegressionMetaLearned
 from meta_learning_pacoh_tpu.datasets import SinusoidDataset
 
 N_STEPS = 200
+
+_BIGN_KNOBS = frozenset({"no_zz", "no_exp", "no_zsubst", "no_assemble",
+                         "no_kinv", "no_dd2", "no_mlp_bwd"})
+_SPECIAL = frozenset({"leaf_identity_batch", "factor_identity", "tp8"})
 
 
 def build_trainer():
@@ -46,16 +53,22 @@ def build_trainer():
         interpret=False)
 
 
-def run_config(name, nb, base, bmg, ablate, tr):
+def run_config(name, nb, base, bmg, ablate):
     saved = (bk._NB, bg._NB, bk._BASE, bk._BATCH_MAX_G, bk._ABLATE,
-             bk._chol_inv_batch, bg.factor_escalated)
+             bg._ABLATE_BIGN, bk._chol_inv_batch, bg.factor_escalated,
+             bg.bign_shapes)
     bk._NB = nb
     bg._NB = nb  # bg binds _NB by from-import; both must move together
     bk._BASE = base
     bk._BATCH_MAX_G = bmg
     bk._ABLATE = frozenset(a for a in ablate
-                           if a not in ("leaf_identity_batch",
-                                        "factor_identity"))
+                           if a not in _SPECIAL and a not in _BIGN_KNOBS)
+    bg._ABLATE_BIGN = frozenset(a for a in ablate if a in _BIGN_KNOBS)
+    if "tp8" in ablate:
+        def _shapes8(T, N):
+            np_ = max(nb, -(-N // nb) * nb)
+            return -(-T // 8) * 8, np_
+        bg.bign_shapes = _shapes8
     if "leaf_identity_batch" in ablate:
         def _ident_batch(D):
             s = D.shape[-1]
@@ -76,8 +89,8 @@ def run_config(name, nb, base, bmg, ablate, tr):
         bg.factor_escalated = _ident_factor
     jax.clear_caches()
     try:
-        # the Wd scratch width tracks _NB inside the kernel wrapper;
-        # rebuild nothing host-side (data layout only depends on Np)
+        tr = build_trainer()
+
         def launch():
             out = bg.fused_map_bign_train_packed(
                 tr.packed, tr.m, tr.v, tr.x, tr.y_nm, tr.mask_nm, tr.w_t,
@@ -99,7 +112,8 @@ def run_config(name, nb, base, bmg, ablate, tr):
               flush=True)
     finally:
         (bk._NB, bg._NB, bk._BASE, bk._BATCH_MAX_G, bk._ABLATE,
-         bk._chol_inv_batch, bg.factor_escalated) = saved
+         bg._ABLATE_BIGN, bk._chol_inv_batch, bg.factor_escalated,
+         bg.bign_shapes) = saved
 
 
 if __name__ == "__main__":
@@ -111,17 +125,18 @@ if __name__ == "__main__":
                         [a for a in abl.split("+") if a]))
     if not configs:
         configs = [
-            ("base NB64/base16/batch", 64, 16, 8, []),
-            ("lane-major", 64, 16, 0, []),
-            ("no_jitter_trials", 64, 16, 8, ["no_jitter_trials"]),
-            ("leaf_identity(batch)", 64, 16, 8, ["leaf_identity_batch"]),
+            ("base NB64/base16/batch (Tp=T)", 64, 16, 8, []),
+            ("tp8 (old padded layout)", 64, 16, 8, ["tp8"]),
             ("factor_identity", 64, 16, 8, ["factor_identity"]),
-            ("base32", 64, 32, 8, []),
-            ("NB128", 128, 16, 8, []),
-            ("NB128/base32", 128, 32, 8, []),
+            ("no_zz", 64, 16, 8, ["no_zz"]),
+            ("no_exp", 64, 16, 8, ["no_exp"]),
+            ("no_zsubst", 64, 16, 8, ["no_zsubst"]),
+            ("no_assemble", 64, 16, 8, ["no_assemble"]),
+            ("no_kinv", 64, 16, 8, ["no_kinv"]),
+            ("no_dd2", 64, 16, 8, ["no_dd2"]),
+            ("no_mlp_bwd", 64, 16, 8, ["no_mlp_bwd"]),
         ]
-    tr = build_trainer()
-    print(f"bign sweep T={tr.T} N={tr.N} (Tp={tr.Tp}, Np={tr.Np}), "
-          f"{N_STEPS} steps/launch, min of 3", flush=True)
+    print(f"bign sweep T=5 N=200, {N_STEPS} steps/launch, min of 3",
+          flush=True)
     for nm, nb, base, bmg, abl in configs:
-        run_config(nm, nb, base, bmg, abl, tr)
+        run_config(nm, nb, base, bmg, abl)
