@@ -228,9 +228,20 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             and hidden == tuple(cfg.kernel_nn_layers)
             and len(set(hidden)) == 1 and len(hidden) >= 1
             and self.num_particles * hidden[0] <= 1024  # VMEM-resident state
-            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
+            # N <= 8: entry-wise unrolled linalg; 9..256: the big-N blocked
+            # mega-kernel (ops/pallas/fused_svgd_bign_kernel.py)
+            and (self.X.shape[1] <= 8
+                 or self._bign_fits())
             and hasattr(self.opt_state[0], "mu")
         )
+
+    def _bign_fits(self):
+        from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import (
+            svgd_bign_fits,
+        )
+
+        return svgd_bign_fits(self.num_particles, self.X.shape[0],
+                              self.X.shape[1])
 
     def _fused_run_chunk(self, chunk):
         from meta_learning_pacoh_tpu import config
@@ -238,10 +249,15 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
             FusedSVGDTrainer,
             pack_state,
         )
+        from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import (
+            FusedSVGDBigNTrainer,
+        )
 
+        trainer_cls = (FusedSVGDTrainer if self.X.shape[1] <= 8
+                       else FusedSVGDBigNTrainer)
         hidden = tuple(self.cfg.mean_nn_layers)
         if self._fused is None:
-            self._fused = FusedSVGDTrainer(
+            self._fused = trainer_cls(
                 self.hyper_prior, self.particles, self.X, self.Y, self.mask,
                 hidden=hidden, lr=self._lr, lr_decay=self._lr_decay,
                 prior_factor=self.prior_factor,

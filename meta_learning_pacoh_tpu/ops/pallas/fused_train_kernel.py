@@ -646,12 +646,13 @@ def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
     M = T * N
     names = state_names(n_hidden)
     S = len(names)
-    log_kp1 = math.log(K + 1)
     prior_ls = hyper_prior_loc_scale(n_hidden, wps, bps)
     H0, HL = hidden[0], hidden[-1]
     score_section = make_score_section(
         K=K, T=T, N=N, D=D, hidden=hidden, prior_factor=0.0,
         prior_ls=prior_ls, ablate=ablate)
+    transport_section = make_transport_section(K=K, hidden=hidden,
+                                               ablate=ablate)
 
     def kernel(*refs):
         state_refs = refs[:S]
@@ -728,114 +729,7 @@ def _make_kernel(*, K, T, N, D, hidden, F, wps, bps,
                 phi_t = dict(score)
                 return _adam_update(phi_t, st_l, m_l, v_l, i)
 
-            # pairwise particle distances, accumulated per layout group
-            big_rows = [st["m_w1cat"], st["m_b1cat"], st["m_woutcat"],
-                        st["k_w1cat"], st["k_b1cat"], st["k_woutcat"]]
-            s_big_rows = [score["m_w1cat"], score["m_b1cat"],
-                          score["m_woutcat"], score["k_w1cat"],
-                          score["k_b1cat"], score["k_woutcat"]]
-            for i3 in range(1, n_hidden):
-                big_rows += [st[f"m_bcat{i3}"], st[f"k_bcat{i3}"]]
-                s_big_rows += [score[f"m_bcat{i3}"], score[f"k_bcat{i3}"]]
-            theta_big = jnp.concatenate(big_rows, axis=0)    # [Rb, K*H0]
-            score_big = jnp.concatenate(s_big_rows, axis=0)
-            # cross-particle inner products: gram over the stacked rows,
-            # SAME-position entries only, lane-block reduced to [K, K]
-            c_big = _mm(_mm_tn(sum0, _mm_tn(theta_big, theta_big) * same0),
-                        sum0)
-
-            small = jnp.concatenate(
-                [st["m_boutcat"], st["k_boutcat"], st["ls"], st["nz"]], axis=0)
-            s_small = jnp.concatenate(
-                [score["m_boutcat"], score["k_boutcat"], score["ls"],
-                 score["nz"]], axis=0)
-            c_small = _mm_tn(small, small)  # [K, K]
-
-            bd_stacks = []
-            s_bd_stacks = []
-            for i3 in range(1, n_hidden):
-                sm = stackL[hidden[i3]]
-                bd_stacks.append((_mm(st[f"m_wbd{i3}"], sm),
-                                  _mm(st[f"k_wbd{i3}"], sm)))
-                s_bd_stacks.append((_mm(score[f"m_wbd{i3}"], sm),
-                                    _mm(score[f"k_wbd{i3}"], sm)))
-            c_bd = jnp.zeros((K, K), jnp.float32)
-            for i3, (tm, tk) in enumerate(bd_stacks, start=1):
-                # gram of the lane-concatenation [tm | tk] contracts over
-                # lanes, so it equals the sum of the two grams — no lane
-                # concat (Mosaic rejects narrow unaligned lane concats)
-                cf = _mm_nt(tm, tm) + _mm_nt(tk, tk)  # [K*Hin, K*Hin]
-                h_in = hidden[i3 - 1]
-                cf = cf * _same_pos_mask(K, h_in)
-                c_bd = c_bd + _mm(_mm_tn(_block_sum_mat(K, h_in), cf),
-                                  _block_sum_mat(K, h_in))
-
-            c_all = c_big + c_small + c_bd  # [K, K] cross terms
-            diag_c = jnp.sum(
-                c_all * jnp.eye(K, dtype=jnp.float32), axis=1, keepdims=True)
-            d2p = jnp.maximum(diag_c + jnp.transpose(diag_c) - 2.0 * c_all,
-                              0.0)
-
-            if "no_median" in ablate:  # profiling only: fixed bandwidth
-                gamma = 1.0 + 0.0 * jnp.max(d2p)
-            else:
-                # median via bisection counting (ops/pallas/svgd_kernel.py)
-                n_half = (K * K) // 2
-
-                def bisect(_, lohi):
-                    lo, hi = lohi
-                    mid = 0.5 * (lo + hi)
-                    cnt = jnp.sum((d2p <= mid).astype(jnp.float32))
-                    take_low = cnt > n_half
-                    return (jnp.where(take_low, lo, mid),
-                            jnp.where(take_low, mid, hi))
-
-                lo, hi = jax.lax.fori_loop(0, 30, bisect,
-                                           (jnp.min(d2p), jnp.max(d2p)))
-                gamma = 1.0 / (1e-8 + (0.5 * (lo + hi)) / log_kp1)
-
-            K_xx = jnp.exp(-gamma * d2p)          # [K, K]
-            row_sum = jnp.sum(K_xx, axis=1, keepdims=True)  # [K, 1]
-
-            kbig0 = (_mm(_mm(sum0, K_xx), jnp.transpose(sum0)) * same0)
-            rs_exp0 = _mm_nt(jnp.transpose(row_sum), sum0)  # [1, K*H0]
-
-            phi_t = {}
-            phi_big = (_mm(score_big, kbig0)
-                       + 2.0 * gamma * (theta_big * rs_exp0
-                                        - _mm(theta_big, kbig0))) / K
-            off = 0
-            big_names = ["m_w1cat", "m_b1cat", "m_woutcat",
-                         "k_w1cat", "k_b1cat", "k_woutcat"]
-            big_sizes = [D, 1, 1, D, 1, 1]
-            for i3 in range(1, n_hidden):
-                big_names += [f"m_bcat{i3}", f"k_bcat{i3}"]
-                big_sizes += [1, 1]
-            for nm, sz in zip(big_names, big_sizes):
-                phi_t[nm] = phi_big[off:off + sz, :]
-                off += sz
-
-            phi_small = (_mm(s_small, K_xx)
-                         + 2.0 * gamma * (small * jnp.transpose(row_sum)
-                                          - _mm(small, K_xx))) / K
-            for idx, nm in enumerate(["m_boutcat", "k_boutcat", "ls", "nz"]):
-                phi_t[nm] = phi_small[idx:idx + 1, :]
-
-            for i3 in range(1, n_hidden):
-                h_in, h_out = hidden[i3 - 1], hidden[i3]
-                sm = stackL[h_out]
-                sum_in = _block_sum_mat(K, h_in)
-                kbig_in = (_mm(_mm(sum_in, K_xx), jnp.transpose(sum_in))
-                           * _same_pos_mask(K, h_in))
-                rs_stack = _mm(sum_in, row_sum)  # [K*Hin, 1]
-                for tag, (tstack, sstack) in (
-                        ("m", (bd_stacks[i3 - 1][0], s_bd_stacks[i3 - 1][0])),
-                        ("k", (bd_stacks[i3 - 1][1], s_bd_stacks[i3 - 1][1]))):
-                    ps = (_mm(kbig_in, sstack)
-                          + 2.0 * gamma * (tstack * rs_stack
-                                           - _mm(kbig_in, tstack))) / K
-                    phi_t[f"{tag}_wbd{i3}"] = (_mm_nt(ps, sm)
-                                               * _bd_mask(K, h_in, h_out))
+            phi_t = transport_section(st, score, sum0, same0, stackL)
 
             # ---------------- Adam (exact optax semantics) ----------------
             return _adam_update(phi_t, st_l, m_l, v_l, i)

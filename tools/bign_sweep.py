@@ -90,6 +90,9 @@ def run_config(name, nb, base, bmg, ablate):
     jax.clear_caches()
     try:
         tr = build_trainer()
+        tr.lr = 0.0  # frozen state: every iteration computes identical values
+        # (value-breaking ablations otherwise diverge the params and
+        # contaminate timing via jitter-escalation refires / denormals)
 
         def launch():
             out = bg.fused_map_bign_train_packed(
@@ -124,17 +127,19 @@ if __name__ == "__main__":
         configs.append((nm, int(nb), int(base), int(bmg),
                         [a for a in abl.split("+") if a]))
     if not configs:
+        # every config carries no_jitter_trials: a value-breaking ablation
+        # must not fire the escalation refactor and pay 2x factorization
+        NJ = "no_jitter_trials"
         configs = [
-            ("base NB64/base16/batch (Tp=T)", 64, 16, 8, []),
-            ("tp8 (old padded layout)", 64, 16, 8, ["tp8"]),
-            ("factor_identity", 64, 16, 8, ["factor_identity"]),
-            ("no_zz", 64, 16, 8, ["no_zz"]),
-            ("no_exp", 64, 16, 8, ["no_exp"]),
-            ("no_zsubst", 64, 16, 8, ["no_zsubst"]),
-            ("no_assemble", 64, 16, 8, ["no_assemble"]),
-            ("no_kinv", 64, 16, 8, ["no_kinv"]),
-            ("no_dd2", 64, 16, 8, ["no_dd2"]),
-            ("no_mlp_bwd", 64, 16, 8, ["no_mlp_bwd"]),
+            ("base+nj", 64, 16, 8, [NJ]),
+            ("nj+factor_identity", 64, 16, 8, [NJ, "factor_identity"]),
+            ("nj+no_zz", 64, 16, 8, [NJ, "no_zz"]),
+            ("nj+no_exp", 64, 16, 8, [NJ, "no_exp"]),
+            ("nj+no_zsubst", 64, 16, 8, [NJ, "no_zsubst"]),
+            ("nj+no_assemble", 64, 16, 8, [NJ, "no_assemble"]),
+            ("nj+no_kinv", 64, 16, 8, [NJ, "no_kinv"]),
+            ("nj+no_dd2", 64, 16, 8, [NJ, "no_dd2"]),
+            ("nj+no_mlp_bwd", 64, 16, 8, [NJ, "no_mlp_bwd"]),
         ]
     print(f"bign sweep T=5 N=200, {N_STEPS} steps/launch, min of 3",
           flush=True)
