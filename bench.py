@@ -129,34 +129,43 @@ def main():
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
     algos["map_t5_n200_xla"] = lambda: GPRegressionMetaLearned(
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
+    # ... and the flagship SVGD on the same shape (fused big-N SVGD
+    # mega-kernel, ops/pallas/fused_svgd_bign_kernel.py)
+    algos["svgd_t5_n200"] = lambda: GPRegressionMetaLearnedSVGD(
+        big_train, num_iter_fit=500, num_particles=10, random_seed=1,
+        prior_factor=0.01, task_batch_size=-1)
+    algos["svgd_t5_n200_xla"] = lambda: GPRegressionMetaLearnedSVGD(
+        big_train, num_iter_fit=500, num_particles=10, random_seed=1,
+        prior_factor=0.01, task_batch_size=-1)
+
+    def _state_leaf(model, name):
+        if name.startswith("svgd"):
+            return model.particles
+        return model.params if name != "vi" else model.posterior
 
     mlap_model = None
     for name, build in algos.items():
-        if name == "map_t5_n200_xla":
+        if name.endswith("_xla"):
             os.environ["PACOH_TPU_DISABLE_FUSED"] = "1"
         model = build()
         if name == "mlap":
             mlap_model = model
-        n_time = 500 if name.startswith("map_t5_n200") else 5000
+        n_time = 500 if "t5_n200" in name else 5000
         # warm with the SAME chunk length; time a full chunk so the
         # per-dispatch tunnel latency amortizes out of the per-iter number
         model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
-        state = model.particles if name == "svgd" else (
-            model.params if name != "vi" else model.posterior)
-        leaf = jax.tree.leaves(state)[0]
+        leaf = jax.tree.leaves(_state_leaf(model, name))[0]
         float(jnp.asarray(leaf).ravel()[0])  # readback fence
         samples = []
         for _ in range(REPEATS):
             t0 = time.time()
             model.meta_fit(verbose=False, log_period=n_time, n_iter=n_time)
-            leaf = jax.tree.leaves(
-                model.particles if name == "svgd" else (
-                    model.params if name != "vi" else model.posterior))[0]
+            leaf = jax.tree.leaves(_state_leaf(model, name))[0]
             float(jnp.asarray(leaf).ravel()[0])
             samples.append((time.time() - t0) / n_time * 1000.0)
         per_iter_ms[name] = round(float(np.mean(samples)), 4)
         per_iter_ms_std[name] = round(float(np.std(samples)), 4)
-        if name == "map_t5_n200_xla":
+        if name.endswith("_xla"):
             os.environ.pop("PACOH_TPU_DISABLE_FUSED", None)
 
     # MLAP meta-test: 3000-step inner Adam for 5 tasks (fused Pallas

@@ -52,6 +52,7 @@ from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
     _diag3,
     assemble_w_inv,
     factor_escalated,
+    logdet_blocked,
     zsubst_blocked,
 )
 from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
@@ -85,6 +86,188 @@ def svgd_bign_fits(K, T, N):
     return 9 <= N and np_ <= 256 and gp_ * np_ * 4 * 8 <= 2**24
 
 
+# ------------------------------------------------- shared big-N score section
+
+
+def bign_scratch_shapes(K, T, N, *, want_wql=False):
+    """Scratch list for make_bign_score_section (order matches its `scr`)."""
+    _, gp_, np_ = svgd_bign_shapes(K, T, N)
+    base = [
+        pltpu.VMEM((_GC, np_, np_), jnp.float32),   # kn (then W)
+        pltpu.VMEM((_GC, np_, np_), jnp.float32),   # trail
+        pltpu.VMEM((_GC, np_, np_), jnp.float32),   # L
+        pltpu.VMEM((_GC, np_, _NB), jnp.float32),   # Wd
+        pltpu.VMEM((gp_, np_), jnp.float32),        # Z
+        pltpu.VMEM((gp_, np_), jnp.float32),        # R
+        pltpu.VMEM((gp_, np_), jnp.float32),        # mask
+        pltpu.VMEM((gp_, np_), jnp.float32),        # dz accumulator
+        pltpu.VMEM((gp_, np_), jnp.float32),        # dmu accumulator
+        pltpu.VMEM((gp_, 128), jnp.float32),        # per-system w
+        pltpu.VMEM((gp_, 128), jnp.float32),        # per-system diag add
+        pltpu.VMEM((gp_, 128), jnp.float32),        # per-system dn acc
+        pltpu.VMEM((gp_, 128), jnp.float32),        # per-system dls acc
+    ]
+    if want_wql:
+        base.append(pltpu.VMEM((gp_, 128), jnp.float32))  # per-system wql
+    return base
+
+
+def make_bign_score_section(*, K, T, N, Np, D, hidden, prior_ls,
+                            want_wql=False):
+    """Per-iteration K-lane particle score at LARGE N — the blocked-linalg
+    sibling of fused_train_kernel.make_score_section, shared by the big-N
+    SVGD and VI kernels (K = particles / reparameterized samples).
+
+    Returns (init_fn, score_fn):
+      - init_fn(scr, msk, y_nm) -> inv: zero the [Gp, *] accumulators ONCE
+        (padded systems [G:Gp) keep mask rows 0, so Kn = I and w = 0 — they
+        contribute exactly nothing) and build the loop-invariant system
+        views. Call at kernel-body top.
+      - score_fn(st, x, w_i, sumL, ones_m, pf, scr, inv) -> (score, wql):
+        NN/NN forward, [G = K*T] blocked per-system exact-MLL linalg in
+        VMEM-bounded chunks of 8, hand-derived backward, hyper-prior term.
+        `wql` (only when want_wql) is the [1, K] per-lane
+        sum_t w_t * (quad_t + logdet_t), as in make_score_section.
+    """
+    M = T * Np
+    G, Gp, _ = svgd_bign_shapes(K, T, N)
+    n_chunks = Gp // _GC
+    net_forward, net_backward = make_net_fns(K=K, D=D, hidden=hidden)
+    names = state_names(len(hidden))
+
+    def init_fn(scr, msk, y_nm):
+        rows_n = jax.lax.broadcasted_iota(jnp.int32, (1, Np, Np), 1)
+        cols_n = jax.lax.broadcasted_iota(jnp.int32, (1, Np, Np), 2)
+        eye = jnp.where(rows_n == cols_n, 1.0, 0.0)   # [1, Np, Np]
+        # [K, M] broadcasts of the task-shared rows, as [G, Np] views
+        m_sys = jnp.broadcast_to(jnp.transpose(msk), (K, M)).reshape(G, Np)
+        y_sys = jnp.broadcast_to(jnp.transpose(y_nm), (K, M)).reshape(G, Np)
+        for ref in scr[4:14 if want_wql else 13]:
+            ref[...] = jnp.zeros(ref.shape, jnp.float32)
+        m_sc = scr[6]
+        m_sc[0:G, :] = m_sys
+        return m_sys, y_sys, eye
+
+    def score_fn(st, x, w_i, sumL, ones_m, pf, scr, inv):
+        kn_scr, trail_scr, l_scr, wd_scr = scr[:4]
+        (z_sc, r_sc, m_sc, dz_acc, dmu_acc, w_sc, dv_sc, dn_sc,
+         dls_sc) = scr[4:13]
+        wql_sc = scr[13] if want_wql else None
+        m_sys, y_sys, eye = inv
+
+        # ---------------- forward (all K particles at once) ----------
+        mu, m_acts = net_forward(st, "m", x, sumL)   # [M, K]
+        phi, k_acts = net_forward(st, "k", x, sumL)  # [M, K]
+        sp_ls = _softplus(st["ls"])   # [1, K]
+        sp_nz = _softplus(st["nz"])   # [1, K]
+
+        # [G, Np] system views (g = k*T + t: [K, M] -> [G, Np] is a
+        # row-major reshape; one [M, K] -> [K, M] transpose per tensor)
+        z_sc[0:G, :] = jnp.transpose(phi / sp_ls).reshape(G, Np)
+        r_sc[0:G, :] = (y_sys - jnp.transpose(mu).reshape(G, Np)) * m_sys
+        # per-system scalars, lane-broadcast. Mosaic only supports
+        # reshapes that split/merge LEADING dims (lane dim unchanged),
+        # so [T,1]/[K,1] expand through a [K, T, 1] broadcast instead
+        # of a [K, T] -> [G, 1] lane-collapsing reshape.
+        w_g = jnp.broadcast_to(w_i.reshape(1, T, 1),
+                               (K, T, 1)).reshape(G, 1)
+        dv_g = jnp.broadcast_to(
+            jnp.transpose(sp_nz).reshape(K, 1, 1) + 1e-6,
+            (K, T, 1)).reshape(G, 1)
+        w_sc[0:G, :] = jnp.broadcast_to(w_g, (G, 128))
+        dv_sc[0:G, :] = jnp.broadcast_to(dv_g, (G, 128))
+
+        # ------------- per-chunk blocked MLL score (fori, scratch) ----
+        def chunk(c, _):
+            o = c * _GC
+            zc = z_sc[pl.ds(o, _GC), :]              # [8, Np]
+            mc = m_sc[pl.ds(o, _GC), :]
+            zc3 = zc.reshape(_GC, Np, 1)
+            mc3 = mc.reshape(_GC, Np, 1)
+            m_row = jnp.swapaxes(mc3, 1, 2)
+            m2 = mc3 * m_row
+            dvec = dv_sc[pl.ds(o, _GC), 0:1].reshape(_GC, 1, 1)
+            wc = w_sc[pl.ds(o, _GC), 0:1].reshape(_GC, 1, 1)
+
+            d2 = (zc3 - jnp.swapaxes(zc3, 1, 2)) ** 2  # [8, Np, Np]
+            Km = jnp.exp(-0.5 * d2)
+            eye_real = eye * mc3
+            diag_m = eye * (mc3 * dvec + (1.0 - mc3))
+            kn_scr[...] = Km * m2 + diag_m
+
+            factor_escalated(trail_scr, l_scr, wd_scr,
+                             lambda: kn_scr[...], eye_real)
+
+            r_row = r_sc[pl.ds(o, _GC), :].reshape(_GC, 1, Np)
+            z_sub = zsubst_blocked(l_scr, wd_scr, r_row)   # [8, 1, Np]
+            assemble_w_inv(l_scr, wd_scr, kn_scr)
+            W = kn_scr[...]
+            alpha_row = _bmm(z_sub, W)                     # [8, 1, Np]
+            Kinv = jnp.einsum("gkm,gkn->gmn", W, W,
+                              preferred_element_type=jnp.float32)
+            outer = jnp.swapaxes(alpha_row, 1, 2) * alpha_row
+            score_K = 0.5 * wc * (outer - Kinv)
+
+            dn_c = jnp.sum(_diag3(score_K * mc3), axis=1,
+                           keepdims=True)                  # [8, 1]
+            dKm = score_K * m2
+            dd2 = jnp.where(d2 > 0, -0.5 * dKm * Km, 0.0)
+            rs = jnp.sum(dd2, axis=2, keepdims=True)       # [8, Np, 1]
+            dz_c = (4.0 * (rs * zc3 - _bmm(dd2, zc3))
+                    ).reshape(_GC, Np)                     # [8, Np]
+            dls_c = jnp.sum(dz_c * (-zc), axis=1,
+                            keepdims=True)                 # [8, 1]
+            dmu_c = (wc * jnp.swapaxes(alpha_row, 1, 2) * mc3
+                     ).reshape(_GC, Np)
+
+            dz_acc[pl.ds(o, _GC), :] = dz_c
+            dmu_acc[pl.ds(o, _GC), :] = dmu_c
+            dn_sc[pl.ds(o, _GC), :] = jnp.broadcast_to(dn_c, (_GC, 128))
+            dls_sc[pl.ds(o, _GC), :] = jnp.broadcast_to(dls_c,
+                                                        (_GC, 128))
+            if want_wql:
+                # dynamic part of the per-system weighted MLL value:
+                # w * (|L^{-1} r|^2 + 2 sum log diag L). Padded rows have
+                # diag 1 (log 0) and r = 0 — they contribute nothing.
+                quad_c = jnp.sum(z_sub * z_sub, axis=2)    # [8, 1]
+                ld_c = logdet_blocked(l_scr)[:, :, 0]      # [8, 1]
+                wql_c = wc[:, :, 0] * (quad_c + ld_c)
+                wql_sc[pl.ds(o, _GC), :] = jnp.broadcast_to(wql_c,
+                                                            (_GC, 128))
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+        # ------------- gather per-particle gradients ------------------
+        DPHI = (jnp.transpose(dz_acc[0:G, :].reshape(K, M))
+                / sp_ls)                                   # [M, K]
+        DMU = jnp.transpose(dmu_acc[0:G, :].reshape(K, M))  # [M, K]
+        dn_k = jnp.sum(dn_sc[0:G, 0:1].reshape(K, T, 1),
+                       axis=1)                               # [K, 1]
+        dls_k = jnp.sum(dls_sc[0:G, 0:1].reshape(K, T, 1), axis=1)
+
+        score = {}
+        score.update(net_backward(st, "m", m_acts, DMU, x, sumL, ones_m))
+        score.update(net_backward(st, "k", k_acts, DPHI, x, sumL, ones_m))
+        score["ls"] = (jnp.transpose(dls_k) / sp_ls
+                       * _sigmoid(st["ls"]))                # [1, K]
+        score["nz"] = jnp.transpose(dn_k) * _sigmoid(st["nz"])
+
+        # hyper-prior term (generalized Bayes, prior_factor-tempered)
+        for nm in names:
+            loc, scale = prior_ls[nm]
+            score[nm] = score[nm] + pf * (
+                -(st[nm] - loc) / (scale * scale))
+
+        wql = None
+        if want_wql:
+            wql = jnp.transpose(
+                jnp.sum(wql_sc[0:G, 0:1].reshape(K, T, 1), axis=1))  # [1, K]
+        return score, wql
+
+    return init_fn, score_fn
+
+
 # ------------------------------------------------------------- kernel body
 
 
@@ -92,15 +275,13 @@ def _make_kernel(*, K, T, N, Np, D, hidden, wps, bps, n_steps,
                  counted=False, b1=0.9, b2=0.999, eps=1e-8):
     """Kernel factory. Data rows are TASK-major ([T*Np, D], row t*Np + n),
     padded per task to Np (padded rows: x=0, mask=0)."""
-    M = T * Np
-    G, Gp, _ = svgd_bign_shapes(K, T, N)
-    n_chunks = Gp // _GC
     n_hidden = len(hidden)
     names = state_names(n_hidden)
     S = len(names)
     H0, HL = hidden[0], hidden[-1]
     prior_ls = hyper_prior_loc_scale(n_hidden, wps, bps)
-    net_forward, net_backward = make_net_fns(K=K, D=D, hidden=hidden)
+    sec_init, sec_score = make_bign_score_section(
+        K=K, T=T, N=N, Np=Np, D=D, hidden=hidden, prior_ls=prior_ls)
     transport_section = make_transport_section(K=K, hidden=hidden)
 
     def kernel(*refs):
@@ -114,9 +295,6 @@ def _make_kernel(*, K, T, N, Np, D, hidden, wps, bps, n_steps,
         out_m = refs[n_in + S:n_in + 2 * S]
         out_v = refs[n_in + 2 * S:n_in + 3 * S]
         scr = list(refs[n_in + 3 * S:])
-        kn_scr, trail_scr, l_scr, wd_scr = scr[:4]
-        (z_sc, r_sc, m_sc, dz_acc, dmu_acc, w_sc, dv_sc, dn_sc,
-         dls_sc) = scr[4:13]
         if counted:
             counts_scr, dma_sem = scr[13], scr[14]
 
@@ -133,22 +311,9 @@ def _make_kernel(*, K, T, N, Np, D, hidden, wps, bps, n_steps,
         sumL = _block_sum_mat(K, HL)
         stackL = {h: _stack_mat(K, h) for h in set(hidden[1:] or [HL])}
         same0 = _same_pos_mask(K, H0)
+        M = x.shape[0]
         ones_m = jnp.ones((1, M), jnp.float32)
-        rows_n = jax.lax.broadcasted_iota(jnp.int32, (1, Np, Np), 1)
-        cols_n = jax.lax.broadcasted_iota(jnp.int32, (1, Np, Np), 2)
-        eye = jnp.where(rows_n == cols_n, 1.0, 0.0)   # [1, Np, Np]
-        # [K, M] broadcasts of the task-shared rows, as [G, Np] views
-        m_sys = jnp.broadcast_to(jnp.transpose(msk), (K, M)).reshape(G, Np)
-        y_sys = jnp.broadcast_to(jnp.transpose(y_nm), (K, M)).reshape(G, Np)
-
-        # padded systems [G:Gp) must hold FINITE values (their mask rows are
-        # zero, so Kn = I and w = 0 — they contribute exactly nothing, but a
-        # NaN in uninitialized scratch would poison Km * 0): zero everything
-        # once, then write [0:G) sub-slices per iteration
-        for ref in (z_sc, r_sc, m_sc, dz_acc, dmu_acc, w_sc, dv_sc, dn_sc,
-                    dls_sc):
-            ref[...] = jnp.zeros(ref.shape, jnp.float32)
-        m_sc[0:G, :] = m_sys
+        inv = sec_init(scr, msk, y_nm)
 
         def _adam_update(phi_t, st_l, m_l, v_l, i):
             t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
@@ -179,102 +344,9 @@ def _make_kernel(*, K, T, N, Np, D, hidden, wps, bps, n_steps,
             else:
                 w_i = w_t
 
-            # ---------------- forward (all K particles at once) ----------
-            mu, m_acts = net_forward(st, "m", x, sumL)   # [M, K]
-            phi, k_acts = net_forward(st, "k", x, sumL)  # [M, K]
-            sp_ls = _softplus(st["ls"])   # [1, K]
-            sp_nz = _softplus(st["nz"])   # [1, K]
+            score, _ = sec_score(st, x, w_i, sumL, ones_m,
+                                 prior_factor, scr, inv)
 
-            # [G, Np] system views (g = k*T + t: [K, M] -> [G, Np] is a
-            # row-major reshape; one [M, K] -> [K, M] transpose per tensor)
-            z_sc[0:G, :] = jnp.transpose(phi / sp_ls).reshape(G, Np)
-            r_sc[0:G, :] = (y_sys - jnp.transpose(mu).reshape(G, Np)) * m_sys
-            # per-system scalars, lane-broadcast. Mosaic only supports
-            # reshapes that split/merge LEADING dims (lane dim unchanged),
-            # so [T,1]/[K,1] expand through a [K, T, 1] broadcast instead
-            # of a [K, T] -> [G, 1] lane-collapsing reshape.
-            w_g = jnp.broadcast_to(w_i.reshape(1, T, 1),
-                                   (K, T, 1)).reshape(G, 1)
-            dv_g = jnp.broadcast_to(
-                jnp.transpose(sp_nz).reshape(K, 1, 1) + 1e-6,
-                (K, T, 1)).reshape(G, 1)
-            w_sc[0:G, :] = jnp.broadcast_to(w_g, (G, 128))
-            dv_sc[0:G, :] = jnp.broadcast_to(dv_g, (G, 128))
-
-            # ------------- per-chunk blocked MLL score (fori, scratch) ----
-            def chunk(c, _):
-                o = c * _GC
-                zc = z_sc[pl.ds(o, _GC), :]              # [8, Np]
-                mc = m_sc[pl.ds(o, _GC), :]
-                zc3 = zc.reshape(_GC, Np, 1)
-                mc3 = mc.reshape(_GC, Np, 1)
-                m_row = jnp.swapaxes(mc3, 1, 2)
-                m2 = mc3 * m_row
-                dvec = dv_sc[pl.ds(o, _GC), 0:1].reshape(_GC, 1, 1)
-                wc = w_sc[pl.ds(o, _GC), 0:1].reshape(_GC, 1, 1)
-
-                d2 = (zc3 - jnp.swapaxes(zc3, 1, 2)) ** 2  # [8, Np, Np]
-                Km = jnp.exp(-0.5 * d2)
-                eye_real = eye * mc3
-                diag_m = eye * (mc3 * dvec + (1.0 - mc3))
-                kn_scr[...] = Km * m2 + diag_m
-
-                factor_escalated(trail_scr, l_scr, wd_scr,
-                                 lambda: kn_scr[...], eye_real)
-
-                r_row = r_sc[pl.ds(o, _GC), :].reshape(_GC, 1, Np)
-                z_sub = zsubst_blocked(l_scr, wd_scr, r_row)   # [8, 1, Np]
-                assemble_w_inv(l_scr, wd_scr, kn_scr)
-                W = kn_scr[...]
-                alpha_row = _bmm(z_sub, W)                     # [8, 1, Np]
-                Kinv = jnp.einsum("gkm,gkn->gmn", W, W,
-                                  preferred_element_type=jnp.float32)
-                outer = jnp.swapaxes(alpha_row, 1, 2) * alpha_row
-                score_K = 0.5 * wc * (outer - Kinv)
-
-                dn_c = jnp.sum(_diag3(score_K * mc3), axis=1,
-                               keepdims=True)                  # [8, 1]
-                dKm = score_K * m2
-                dd2 = jnp.where(d2 > 0, -0.5 * dKm * Km, 0.0)
-                rs = jnp.sum(dd2, axis=2, keepdims=True)       # [8, Np, 1]
-                dz_c = (4.0 * (rs * zc3 - _bmm(dd2, zc3))
-                        ).reshape(_GC, Np)                     # [8, Np]
-                dls_c = jnp.sum(dz_c * (-zc), axis=1,
-                                keepdims=True)                 # [8, 1]
-                dmu_c = (wc * jnp.swapaxes(alpha_row, 1, 2) * mc3
-                         ).reshape(_GC, Np)
-
-                dz_acc[pl.ds(o, _GC), :] = dz_c
-                dmu_acc[pl.ds(o, _GC), :] = dmu_c
-                dn_sc[pl.ds(o, _GC), :] = jnp.broadcast_to(dn_c, (_GC, 128))
-                dls_sc[pl.ds(o, _GC), :] = jnp.broadcast_to(dls_c,
-                                                            (_GC, 128))
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, chunk, 0)
-
-            # ------------- gather per-particle gradients ------------------
-            DPHI = (jnp.transpose(dz_acc[0:G, :].reshape(K, M))
-                    / sp_ls)                                   # [M, K]
-            DMU = jnp.transpose(dmu_acc[0:G, :].reshape(K, M))  # [M, K]
-            dn_k = jnp.sum(dn_sc[0:G, 0:1].reshape(K, T, 1),
-                           axis=1)                               # [K, 1]
-            dls_k = jnp.sum(dls_sc[0:G, 0:1].reshape(K, T, 1), axis=1)
-
-            score = {}
-            score.update(net_backward(st, "m", m_acts, DMU, x, sumL, ones_m))
-            score.update(net_backward(st, "k", k_acts, DPHI, x, sumL, ones_m))
-            score["ls"] = (jnp.transpose(dls_k) / sp_ls
-                           * _sigmoid(st["ls"]))                # [1, K]
-            score["nz"] = jnp.transpose(dn_k) * _sigmoid(st["nz"])
-
-            # hyper-prior term (generalized Bayes, prior_factor-tempered)
-            for nm in names:
-                loc, scale = prior_ls[nm]
-                score[nm] = score[nm] + prior_factor * (
-                    -(st[nm] - loc) / (scale * scale))
-
-            # ------------- Stein transport + Adam -------------------------
             phi_t = transport_section(st, score, sum0, same0, stackL)
             return _adam_update(phi_t, st_l, m_l, v_l, i)
 
@@ -322,22 +394,7 @@ def fused_svgd_bign_train_packed(packed, m_packed, v_packed, x, y_nm,
     S = len(names)
     out_shapes = [jax.ShapeDtypeStruct(t.shape, t.dtype)
                   for t in state_in + m_in + v_in]
-    _, gp_, _ = svgd_bign_shapes(K, T, N)
-    scratch = [
-        pltpu.VMEM((_GC, Np, Np), jnp.float32),   # kn (then W)
-        pltpu.VMEM((_GC, Np, Np), jnp.float32),   # trail
-        pltpu.VMEM((_GC, Np, Np), jnp.float32),   # L
-        pltpu.VMEM((_GC, Np, _NB), jnp.float32),  # Wd
-        pltpu.VMEM((gp_, Np), jnp.float32),       # Z
-        pltpu.VMEM((gp_, Np), jnp.float32),       # R
-        pltpu.VMEM((gp_, Np), jnp.float32),       # mask
-        pltpu.VMEM((gp_, Np), jnp.float32),       # dz accumulator
-        pltpu.VMEM((gp_, Np), jnp.float32),       # dmu accumulator
-        pltpu.VMEM((gp_, 128), jnp.float32),      # per-system w
-        pltpu.VMEM((gp_, 128), jnp.float32),      # per-system diag add
-        pltpu.VMEM((gp_, 128), jnp.float32),      # per-system dn acc
-        pltpu.VMEM((gp_, 128), jnp.float32),      # per-system dls acc
-    ]
+    scratch = bign_scratch_shapes(K, T, N)
     if counted:
         scratch += [pltpu.VMEM((-(-T // 8) * 8, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA(())]
