@@ -227,9 +227,19 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             and hidden == tuple(cfg.kernel_nn_layers)
             and len(set(hidden)) == 1 and len(hidden) >= 1
             and self.svi_batch_size * hidden[0] <= 1024  # lane budget
-            and self.X.shape[1] <= 8  # unrolled-linalg window (ops/gp.py)
+            # N <= 8: entry-wise unrolled linalg; 9..256: the big-N blocked
+            # mega-kernel (ops/pallas/fused_vi_bign_kernel.py)
+            and (self.X.shape[1] <= 8 or self._bign_fits())
             and hasattr(self.opt_state[0], "mu")
         )
+
+    def _bign_fits(self):
+        from meta_learning_pacoh_tpu.ops.pallas.fused_vi_bign_kernel import (
+            vi_bign_fits,
+        )
+
+        return vi_bign_fits(self.svi_batch_size, self.X.shape[0],
+                            self.X.shape[1])
 
     def _fused_run_chunk(self, chunk):
         from meta_learning_pacoh_tpu import config
@@ -239,10 +249,15 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         from meta_learning_pacoh_tpu.ops.pallas.fused_vi_kernel import (
             FusedVITrainer,
         )
+        from meta_learning_pacoh_tpu.ops.pallas.fused_vi_bign_kernel import (
+            FusedVIBigNTrainer,
+        )
 
+        trainer_cls = (FusedVITrainer if self.X.shape[1] <= 8
+                       else FusedVIBigNTrainer)
         hidden = tuple(self.cfg.mean_nn_layers)
         if self._fused is None:
-            self._fused = FusedVITrainer(
+            self._fused = trainer_cls(
                 self.hyper_prior, self.posterior, self.X, self.Y, self.mask,
                 hidden=hidden, lr=self._lr, prior_factor=self.prior_factor,
                 weight_prior_std=self._weight_prior_std,

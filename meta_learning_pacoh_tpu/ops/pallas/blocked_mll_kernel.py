@@ -270,6 +270,15 @@ def _factor_diag_panel(D):
 
     Small groups (G <= _BATCH_MAX_G) skip the relayout entirely and run the
     same fused-Gauss recursion batch-major — see _rec_batch."""
+    if "leaf_identity_bm" in _ABLATE:  # profiling only: no factorization
+        # math AND no lane-major relayout — isolates the transpose cost
+        # (leaf_identity keeps the transposes)
+        s = D.shape[-1]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, s, s), 2)
+        eye_b = jnp.broadcast_to(jnp.where(rows == cols, 1.0, 0.0),
+                                 D.shape).astype(D.dtype)
+        return eye_b, eye_b
     if D.shape[0] <= _BATCH_MAX_G and "force_lanes" not in _ABLATE:
         return _rec_batch(D)
     Dt = jnp.transpose(D, (1, 2, 0))
@@ -293,14 +302,26 @@ def _diag3(M):
     return jnp.sum(jnp.where(rows == cols, M, 0.0), axis=2)
 
 
-def factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, jit_g):
+def factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, jit_g,
+                  border=None):
     """One blocked factorization pass of read_kn() + jit_g * eye_real into
     l_ref (L, lower) and wd_ref (diag-block inverses), consuming trail_ref.
     jit_g: [G, 1, 1] per-system jitter. Shared by the standalone MLL kernel
-    and the fused big-N training mega-kernels."""
+    and the fused big-N training mega-kernels.
+
+    border=(j, row): plant `row` [G, 1, Np] as row j of the trail (a row in
+    the identity-padding region, j >= n_real). Factoring the bordered matrix
+    [[K, 0], [r^T, c]] makes row j of L equal to z^T = (L_K^{-1} r)^T — the
+    forward substitution comes out of the panel solves that already process
+    the padding rows, replacing the serialized zsubst_blocked matvecs. The
+    caller extracts z from l_ref and cleans row j back to identity
+    (clean_border) before the backward consumes L/Wd."""
     np_ = trail_ref.shape[-1]
     n_panels = np_ // _NB
     trail_ref[...] = read_kn() + jit_g * eye_real
+    if border is not None:
+        j_b, row_b = border
+        trail_ref[:, j_b:j_b + 1, :] = row_b
     l_ref[...] = jnp.zeros_like(l_ref)
     for p in range(n_panels):
         po = p * _NB
@@ -311,18 +332,25 @@ def factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, jit_g):
         if p < n_panels - 1:
             Wd = wd_ref[:, po:po + _NB, :]
             Bp = trail_ref[:, po + _NB:, po:po + _NB]  # [G, R, NB]
-            X = _bmm_nt(Bp, Wd)  # X = Bp Ld^{-T}
+            if "no_panel_solve" in _ABLATE:  # profiling only
+                X = Bp
+            else:
+                X = _bmm_nt(Bp, Wd)  # X = Bp Ld^{-T}
             l_ref[:, po + _NB:, po:po + _NB] = X
+            if "no_syrk" in _ABLATE:  # profiling only
+                continue
             trail_ref[:, po + _NB:, po + _NB:] = (
                 trail_ref[:, po + _NB:, po + _NB:] - _bmm_nt(X, X)
             )
 
 
-def factor_escalated(trail_ref, l_ref, wd_ref, read_kn, eye_real):
+def factor_escalated(trail_ref, l_ref, wd_ref, read_kn, eye_real,
+                     border=None):
     """Blocked factorization with per-system jitter escalation
     (0 -> 1e-4 -> 1e-2, gpytorch psd-safe semantics) behind a
     single-factorization fast path: only if some system's no-jitter factor
-    fails does a pl.when branch refactor the group with escalated jitter."""
+    fails does a pl.when branch refactor the group with escalated jitter.
+    border: see factor_panels (replanted on every escalation pass)."""
     def ok_per_system():
         d = _diag3(l_ref[...])  # [G, Np]
         fin = jnp.isfinite(d) & (d > 0.0)
@@ -330,7 +358,8 @@ def factor_escalated(trail_ref, l_ref, wd_ref, read_kn, eye_real):
 
     g = trail_ref.shape[0]
     zero_j = jnp.zeros((g, 1, 1), jnp.float32)
-    factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, zero_j)
+    factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, zero_j,
+                  border=border)
 
     if "no_jitter_trials" not in _ABLATE:
         ok0 = ok_per_system()  # [G, 1, 1]
@@ -338,14 +367,49 @@ def factor_escalated(trail_ref, l_ref, wd_ref, read_kn, eye_real):
         @pl.when(jnp.min(ok0) < 0.5)
         def _():
             factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real,
-                          jnp.where(ok0 > 0.5, 0.0, 1e-4))
+                          jnp.where(ok0 > 0.5, 0.0, 1e-4), border=border)
             ok1 = ok_per_system()
 
             @pl.when(jnp.min(ok1) < 0.5)
             def _():
                 factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real,
                               jnp.where(ok0 > 0.5, 0.0,
-                                        jnp.where(ok1 > 0.5, 1e-4, 1e-2)))
+                                        jnp.where(ok1 > 0.5, 1e-4, 1e-2)),
+                              border=border)
+
+
+_BORDER_KAPPA = 1e8  # corner constant factor: c = kappa * (|r|^2 + 1).
+# pivot^2 = c - |z|^2 with |z|^2 = r^T K^{-1} r <= |r|^2 / lambda_min(K);
+# the GP noise floor (1e-3)^2 bounds lambda_min >= 1e-6, so c keeps the
+# bordered pivot real and finite (f32 headroom: c <~ 1e12 << 3.4e38).
+
+
+def extract_border_z(l_ref, wd_ref, j_b):
+    """Read z^T (row j_b of L) off a border-factored l_ref, then clean the
+    bordered row of l_ref and wd_ref back to identity-padding form so the
+    backward's W = L^{-1} / Kinv = W^T W see exactly the un-bordered
+    factorization. Returns z [G, 1, Np]."""
+    np_ = l_ref.shape[-1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    z = jnp.where(cols < j_b, l_ref[:, j_b:j_b + 1, :], 0.0)
+    e_j = jnp.where(cols == j_b, 1.0, 0.0)
+    l_ref[:, j_b:j_b + 1, :] = jnp.broadcast_to(
+        e_j, l_ref[:, j_b:j_b + 1, :].shape)
+    j0 = j_b % _NB
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _NB), 2)
+    e_j0 = jnp.where(cols_w == j0, 1.0, 0.0)
+    wd_ref[:, j_b:j_b + 1, :] = jnp.broadcast_to(
+        e_j0, wd_ref[:, j_b:j_b + 1, :].shape)
+    return z
+
+
+def make_border_row(r, j_b):
+    """The bordered row [r | c] at column j_b: r [G, 1, Np] (zeros at
+    columns >= n_real), c = kappa * (|r|^2 + 1) per system."""
+    np_ = r.shape[-1]
+    c = _BORDER_KAPPA * (jnp.sum(r * r, axis=2, keepdims=True) + 1.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, np_), 2)
+    return r + c * jnp.where(cols == j_b, 1.0, 0.0)
 
 
 def zsubst_blocked(l_ref, wd_ref, r):
@@ -403,14 +467,24 @@ def _mll_fwd_kernel(n_real, kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref,
     # jitter lands on the REAL diagonal only — padding rows stay exactly I
     eye_real = jnp.where((rows == cols) & (rows < n_real), 1.0, 0.0)
 
-    factor_escalated(trail_ref, l_ref, wd_ref, lambda: kn_ref[...], eye_real)
-
-    if "no_zsubst" in _ABLATE:  # profiling only
-        z_ref[...] = jnp.broadcast_to(r_ref[...], z_ref.shape)
-        z = z_ref[...]
-    else:
-        z = zsubst_blocked(l_ref, wd_ref, r_ref[...])
+    if (n_real < np_ and "no_zsubst" not in _ABLATE
+            and "no_border" not in _ABLATE):
+        # bordered system: z = L^{-1} r comes out of the panel solves that
+        # already process the padding rows — no serialized substitution pass
+        border = (n_real, make_border_row(r_ref[...], n_real))
+        factor_escalated(trail_ref, l_ref, wd_ref, lambda: kn_ref[...],
+                         eye_real, border=border)
+        z = extract_border_z(l_ref, wd_ref, n_real)
         z_ref[...] = z
+    else:
+        factor_escalated(trail_ref, l_ref, wd_ref, lambda: kn_ref[...],
+                         eye_real)
+        if "no_zsubst" in _ABLATE:  # profiling only
+            z_ref[...] = jnp.broadcast_to(r_ref[...], z_ref.shape)
+            z = z_ref[...]
+        else:
+            z = zsubst_blocked(l_ref, wd_ref, r_ref[...])
+            z_ref[...] = z
 
     quad_ref[...] = jnp.sum(z * z, axis=2, keepdims=True)  # [G, 1, 1]
     logdet_ref[...] = logdet_blocked(l_ref)

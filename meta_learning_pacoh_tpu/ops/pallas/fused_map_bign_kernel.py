@@ -45,7 +45,9 @@ from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
     _bmm_nt,
     _diag3,
     assemble_w_inv,
+    extract_border_z,
     factor_escalated,
+    make_border_row,
     logdet_blocked,
     zsubst_blocked,
 )
@@ -221,15 +223,25 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
             diag_m = eye * (m_col * diag_add + (1.0 - m_col))
             kn_scr[...] = Km * m2 + diag_m            # add_noise_masked
 
-            factor_escalated(trail_scr, l_scr, wd_scr,
-                             lambda: kn_scr[...], eye_real)
-
             mu_col = mu.reshape(Tp, Np, 1)
             r_row = jnp.swapaxes((y_col - mu_col) * m_col, 1, 2)  # [Tp,1,Np]
-            if "no_zsubst" in _ABLATE_BIGN:  # profiling only
-                z_sub = r_row + 0.0 * l_scr[:, 0:1, :]
+            if N < Np and "no_zsubst" not in _ABLATE_BIGN:
+                # bordered system: z = L^{-1} r rides the panel solves that
+                # already process the padding rows (see blocked_mll_kernel.
+                # factor_panels); ragged tasks keep r = 0 on masked rows, so
+                # borrowing GLOBAL row N stays exact
+                border = (N, make_border_row(r_row, N))
+                factor_escalated(trail_scr, l_scr, wd_scr,
+                                 lambda: kn_scr[...], eye_real,
+                                 border=border)
+                z_sub = extract_border_z(l_scr, wd_scr, N)        # [Tp,1,Np]
             else:
-                z_sub = zsubst_blocked(l_scr, wd_scr, r_row)      # [Tp,1,Np]
+                factor_escalated(trail_scr, l_scr, wd_scr,
+                                 lambda: kn_scr[...], eye_real)
+                if "no_zsubst" in _ABLATE_BIGN:  # profiling only
+                    z_sub = r_row + 0.0 * l_scr[:, 0:1, :]
+                else:
+                    z_sub = zsubst_blocked(l_scr, wd_scr, r_row)  # [Tp,1,Np]
             quad = jnp.sum(z_sub * z_sub, axis=2, keepdims=True)  # [Tp,1,1]
             logdet = logdet_blocked(l_scr)                        # [Tp,1,1]
 

@@ -51,8 +51,10 @@ from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
     _bmm,
     _diag3,
     assemble_w_inv,
+    extract_border_z,
     factor_escalated,
     logdet_blocked,
+    make_border_row,
     zsubst_blocked,
 )
 from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
@@ -68,7 +70,12 @@ from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
     state_names,
 )
 
-_GC = 8  # systems per factorization chunk (batch-major small-G regime)
+import os as _os
+
+# systems per factorization chunk. 8 = the batch-major small-G regime
+# (blocked_mll_kernel._rec_batch); 16/32 relayout the chunk lane-major
+# (PACOH_TPU_BIGN_GC override for sweeps, tools/bign_gc_sweep.py)
+_GC = int(_os.environ.get("PACOH_TPU_BIGN_GC", "8"))
 
 
 def svgd_bign_shapes(K, T, N):
@@ -195,11 +202,22 @@ def make_bign_score_section(*, K, T, N, Np, D, hidden, prior_ls,
             diag_m = eye * (mc3 * dvec + (1.0 - mc3))
             kn_scr[...] = Km * m2 + diag_m
 
-            factor_escalated(trail_scr, l_scr, wd_scr,
-                             lambda: kn_scr[...], eye_real)
-
             r_row = r_sc[pl.ds(o, _GC), :].reshape(_GC, 1, Np)
-            z_sub = zsubst_blocked(l_scr, wd_scr, r_row)   # [8, 1, Np]
+            if N < Np:
+                # bordered system: z = L^{-1} r rides the panel solves that
+                # already process the padding rows (see blocked_mll_kernel.
+                # factor_panels) — no serialized substitution pass. NOTE:
+                # ragged tasks have mask rows n_task..N-1 zeroed, but r is
+                # zero there too, so borrowing GLOBAL row N stays exact.
+                border = (N, make_border_row(r_row, N))
+                factor_escalated(trail_scr, l_scr, wd_scr,
+                                 lambda: kn_scr[...], eye_real,
+                                 border=border)
+                z_sub = extract_border_z(l_scr, wd_scr, N)   # [8, 1, Np]
+            else:
+                factor_escalated(trail_scr, l_scr, wd_scr,
+                                 lambda: kn_scr[...], eye_real)
+                z_sub = zsubst_blocked(l_scr, wd_scr, r_row)  # [8, 1, Np]
             assemble_w_inv(l_scr, wd_scr, kn_scr)
             W = kn_scr[...]
             alpha_row = _bmm(z_sub, W)                     # [8, 1, Np]

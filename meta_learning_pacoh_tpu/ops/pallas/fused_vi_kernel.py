@@ -214,6 +214,36 @@ def make_lane_sample_ops(*, S, hidden, layout):
     return build_mats, sample, reduce_pair
 
 
+def make_lane_prior_quad(*, S, hidden, layout, prior_ls):
+    """sum_p z_p^2 of the S lane-layout samples under the hyper-prior,
+    z = (theta - loc) / scale, as [1, S] — the dynamic part of the prior
+    log prob (lp_s = -0.5 * quad + lp_const). Shared by the small-N and
+    big-N fused VI kernels."""
+    names = state_names(len(hidden))
+    H = hidden[0]
+    wide = {nm for nm, _, _, nl in layout if nl == S * H}
+
+    def prior_quad(st):
+        bsumH = _block_sum_mat(S, H)
+        qsum = jnp.zeros((1, S), jnp.float32)
+        for nm in names:
+            p_loc, p_scale = prior_ls[nm]
+            z = (st[nm] - p_loc) / p_scale
+            sq = z * z
+            if "wbd" in nm:
+                i3 = int(nm[-1])
+                qsum = qsum + _mm(jnp.sum(sq, axis=0, keepdims=True),
+                                  _block_sum_mat(S, hidden[i3]))
+            elif nm in wide:
+                qsum = qsum + _mm(jnp.sum(sq, axis=0, keepdims=True),
+                                  bsumH)
+            else:
+                qsum = qsum + sq
+        return qsum
+
+    return prior_quad
+
+
 # ------------------------------------------------------------- kernel body
 
 
@@ -238,6 +268,8 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
         prior_ls=prior_ls, want_wql=True)
     build_mats, sample_st, reduce_pair = make_lane_sample_ops(
         S=S, hidden=hidden, layout=layout)
+    prior_quad = make_lane_prior_quad(S=S, hidden=hidden, layout=layout,
+                                      prior_ls=prior_ls)
 
     # static shapes of the K=1 packed posterior tensors, for iteration
     k1_rows = {}
@@ -284,8 +316,6 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
         bsumH = _block_sum_mat(S, H)          # [S*H, S]
         sumL = bsumH                          # score section's lane reducer
         ones_m = jnp.ones((1, M), jnp.float32)
-
-        wide = {nm for nm, _, _, nl in layout if nl == S * H}
 
         def _adam(gs, th_l, m_l, v_l, i):
             t_f = step0 + jnp.asarray(i, jnp.float32) + 1.0
@@ -337,21 +367,7 @@ def _make_vi_kernel(*, S, T, N, D, hidden, wps, bps,
 
             # ---- loss: neg-ELBO of this iteration ----------------------
             # prior log prob per sample: -(1/2) sum_p z^2 + static const
-            qsum = jnp.zeros((1, S), jnp.float32)
-            for nm in names:
-                p_loc, p_scale = prior_ls[nm]
-                z = (st[nm] - p_loc) / p_scale
-                sq = z * z
-                if "wbd" in nm:
-                    i3 = int(nm[-1])
-                    qsum = qsum + _mm(jnp.sum(sq, axis=0, keepdims=True),
-                                      _block_sum_mat(S, hidden[i3]))
-                elif nm in wide:
-                    qsum = qsum + _mm(jnp.sum(sq, axis=0, keepdims=True),
-                                      bsumH)
-                else:
-                    qsum = qsum + sq
-            lp_s = -0.5 * qsum + lp_const                       # [1, S]
+            lp_s = -0.5 * prior_quad(st) + lp_const             # [1, S]
             wmll = -0.5 * (wql + mll_const)                     # [1, S]
             obj = prior_factor * lp_s + wmll
             sum_lsc = None

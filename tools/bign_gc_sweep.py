@@ -1,0 +1,51 @@
+"""TPU sweep: fused big-N SVGD chunk width _GC (8 batch-major vs 16/32
+lane-major leaf regimes) at the Swissfel shape T=5/N=200, K=10 (G=50).
+
+In-process comparison (same tunnel state); each config re-traces.
+"""
+import time
+
+import numpy as np
+import jax
+
+from meta_learning_pacoh_tpu.ops.pallas import fused_svgd_bign_kernel as bk
+from meta_learning_pacoh_tpu import GPRegressionMetaLearnedSVGD
+from meta_learning_pacoh_tpu.datasets import SinusoidDataset
+
+
+def build(n_iter=500):
+    env = SinusoidDataset(random_state=np.random.RandomState(5))
+    train = env.generate_meta_train_data(n_tasks=5, n_samples=200)
+    return GPRegressionMetaLearnedSVGD(
+        train, num_iter_fit=n_iter, random_seed=1, task_batch_size=-1)
+
+
+def time_fit(m, n_iter=500):
+    m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)  # warm
+    out = []
+    for _ in range(3):
+        t0 = time.time()
+        m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+        float(np.asarray(m._fused.packed["nz"])[0, 0])
+        out.append((time.time() - t0) / n_iter * 1e6)
+    return float(np.min(out))
+
+
+if __name__ == "__main__":
+    import sys
+
+    gcs = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
+    print("devices:", jax.devices(), flush=True)
+    for gc in gcs:
+        bk._GC = gc
+        jax.clear_caches()
+        try:
+            m = build()
+            assert m._fused_path_ok()
+            us = time_fit(m)
+            ev = float(np.asarray(m._fused.packed["nz"])[0, 0])
+            print(f"GC={gc:3d}  {us:8.1f} us/iter  (nz sample {ev:.4f})",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep survives bad configs
+            print(f"GC={gc:3d}  FAILED: {type(e).__name__}: {str(e)[:140]}",
+                  flush=True)

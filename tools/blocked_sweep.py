@@ -46,12 +46,15 @@ def time_scanned(make_body, K, reps=20, samples=3):
     return float(np.min(out))
 
 
-def run_config(name, g_budget_mb, base, ablate, K, r, batch_max_g=None):
+def run_config(name, g_budget_mb, base, ablate, K, r, batch_max_g=None,
+               nb=None):
     bk._G_BUDGET = g_budget_mb * 2**20
     bk._BASE = base
     bk._ABLATE = frozenset(ablate)
     if batch_max_g is not None:
         bk._BATCH_MAX_G = batch_max_g
+    if nb is not None:
+        bk._NB = nb
     jax.clear_caches()
 
     def fwd_body(Kc):
@@ -82,24 +85,25 @@ if __name__ == "__main__":
         nm, spec = arg.split("=")
         parts = spec.split(":")
         gb, base, abl = parts[0], parts[1], parts[2]
-        bmg = int(parts[3]) if len(parts) > 3 else None
+        bmg = int(parts[3]) if len(parts) > 3 and parts[3] else None
+        nb = int(parts[4]) if len(parts) > 4 and parts[4] else None
         configs.append((nm, int(gb), int(base),
-                        [a for a in abl.split("+") if a], bmg))
+                        [a for a in abl.split("+") if a], bmg, nb))
     if not configs:
         configs = [
-            ("G32_base16", 8, 16, [], None),
-            ("G64_base16", 16, 16, [], None),
-            ("G32_base16_nozsubst", 8, 16, ["no_zsubst"], None),
-            ("G32_base16_nojitter", 8, 16, ["no_jitter_trials"], None),
+            ("G32_base16", 8, 16, [], None, None),
+            ("G64_base16", 16, 16, [], None, None),
+            ("G32_base16_nozsubst", 8, 16, ["no_zsubst"], None, None),
+            ("G32_base16_nojitter", 8, 16, ["no_jitter_trials"], None, None),
             ("G32_base16_nolinalg", 8, 16,
-             ["no_zsubst", "no_jitter_trials"], None),
-            ("G32_base32", 8, 32, [], None),
-            ("G32_base8", 8, 8, [], None),
+             ["no_zsubst", "no_jitter_trials"], None, None),
+            ("G32_base32", 8, 32, [], None, None),
+            ("G32_base8", 8, 8, [], None, None),
         ]
     print(f"sweep at B={B} N={N} (timing: min of 3 samples x 10 reps)",
           flush=True)
-    for nm, gb, base, abl, bmg in configs:
-        run_config(nm, gb, base, abl, K, r, batch_max_g=bmg)
+    for nm, gb, base, abl, bmg, nb in configs:
+        run_config(nm, gb, base, abl, K, r, batch_max_g=bmg, nb=nb)
 
 
 def run_vmem_config(name, g_budget_mb, vmem_mb, K, r):
