@@ -137,11 +137,16 @@ def main():
     algos["svgd_t5_n200_xla"] = lambda: GPRegressionMetaLearnedSVGD(
         big_train, num_iter_fit=500, num_particles=10, random_seed=1,
         prior_factor=0.01, task_batch_size=-1)
+    # ... and VI (fused big-N VI mega-kernel, ops/pallas/fused_vi_bign_kernel)
+    algos["vi_t5_n200"] = lambda: GPRegressionMetaLearnedVI(
+        big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
+    algos["vi_t5_n200_xla"] = lambda: GPRegressionMetaLearnedVI(
+        big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
 
     def _state_leaf(model, name):
         if name.startswith("svgd"):
             return model.particles
-        return model.params if name != "vi" else model.posterior
+        return model.posterior if name.startswith("vi") else model.params
 
     mlap_model = None
     for name, build in algos.items():

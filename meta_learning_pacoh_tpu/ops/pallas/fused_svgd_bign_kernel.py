@@ -72,10 +72,10 @@ from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
 
 import os as _os
 
-# systems per factorization chunk. 8 = the batch-major small-G regime
-# (blocked_mll_kernel._rec_batch); 16/32 relayout the chunk lane-major
-# (PACOH_TPU_BIGN_GC override for sweeps, tools/bign_gc_sweep.py)
-_GC = int(_os.environ.get("PACOH_TPU_BIGN_GC", "8"))
+# systems per factorization chunk. 16 (lane-major leaf regime) measured
+# 7% faster than 8 (batch-major) at G=50/N=200 on v5e; 32 fails to compile
+# (tools/bign_gc_sweep.py). PACOH_TPU_BIGN_GC overrides for sweeps.
+_GC = int(_os.environ.get("PACOH_TPU_BIGN_GC", "16"))
 
 
 def svgd_bign_shapes(K, T, N):

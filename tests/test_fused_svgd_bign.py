@@ -62,8 +62,13 @@ def _build(mt=None, seed=30, n_iter=100, task_batch_size=-1):
 
 
 def test_shapes_and_gate():
-    assert svgd_bign_shapes(4, 3, 12) == (12, 16, 64)
-    assert svgd_bign_shapes(10, 5, 200) == (50, 56, 256)
+    from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import _GC
+
+    def gp(g):  # Gp rounds up to the chunk width (_GC, env-tunable)
+        return -(-g // _GC) * _GC
+
+    assert svgd_bign_shapes(4, 3, 12) == (12, gp(12), 64)
+    assert svgd_bign_shapes(10, 5, 200) == (50, gp(50), 256)
     assert svgd_bign_fits(10, 5, 200)
     assert not svgd_bign_fits(10, 5, 300)   # Np > 256
     assert not svgd_bign_fits(10, 5, 5)     # entry-tile window owns N <= 8
