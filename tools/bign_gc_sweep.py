@@ -1,5 +1,7 @@
-"""TPU sweep: fused big-N SVGD chunk width _GC (8 batch-major vs 16/32
-lane-major leaf regimes) at the Swissfel shape T=5/N=200, K=10 (G=50).
+"""TPU sweep: fused big-N chunk width _GC (8 batch-major vs 16/32
+lane-major leaf regimes) at the Swissfel shape T=5/N=200.
+
+Usage: python tools/bign_gc_sweep.py [--algo svgd|vi|map] [GC ...]
 
 In-process comparison (same tunnel state); each config re-traces.
 """
@@ -9,15 +11,28 @@ import numpy as np
 import jax
 
 from meta_learning_pacoh_tpu.ops.pallas import fused_svgd_bign_kernel as bk
-from meta_learning_pacoh_tpu import GPRegressionMetaLearnedSVGD
+from meta_learning_pacoh_tpu import (
+    GPRegressionMetaLearned,
+    GPRegressionMetaLearnedSVGD,
+    GPRegressionMetaLearnedVI,
+)
 from meta_learning_pacoh_tpu.datasets import SinusoidDataset
 
 
-def build(n_iter=500):
+def build(algo, n_iter=500):
     env = SinusoidDataset(random_state=np.random.RandomState(5))
     train = env.generate_meta_train_data(n_tasks=5, n_samples=200)
-    return GPRegressionMetaLearnedSVGD(
-        train, num_iter_fit=n_iter, random_seed=1, task_batch_size=-1)
+    cls = {"svgd": GPRegressionMetaLearnedSVGD,
+           "vi": GPRegressionMetaLearnedVI,
+           "map": GPRegressionMetaLearned}[algo]
+    return cls(train, num_iter_fit=n_iter, random_seed=1,
+               task_batch_size=-1)
+
+
+def readback(m):
+    f = m._fused
+    src = f.packed["nz"] if hasattr(f, "packed") else f.last_loss
+    return float(np.asarray(src).reshape(-1)[0])
 
 
 def time_fit(m, n_iter=500):
@@ -26,7 +41,7 @@ def time_fit(m, n_iter=500):
     for _ in range(3):
         t0 = time.time()
         m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
-        float(np.asarray(m._fused.packed["nz"])[0, 0])
+        readback(m)
         out.append((time.time() - t0) / n_iter * 1e6)
     return float(np.min(out))
 
@@ -34,17 +49,22 @@ def time_fit(m, n_iter=500):
 if __name__ == "__main__":
     import sys
 
-    gcs = [int(a) for a in sys.argv[1:]] or [8, 16, 32]
-    print("devices:", jax.devices(), flush=True)
+    args = sys.argv[1:]
+    algo = "svgd"
+    if args and args[0] == "--algo":
+        algo = args[1]
+        args = args[2:]
+    gcs = [int(a) for a in args] or [8, 16, 32]
+    print("devices:", jax.devices(), "algo:", algo, flush=True)
     for gc in gcs:
         bk._GC = gc
         jax.clear_caches()
         try:
-            m = build()
+            m = build(algo)
             assert m._fused_path_ok()
             us = time_fit(m)
-            ev = float(np.asarray(m._fused.packed["nz"])[0, 0])
-            print(f"GC={gc:3d}  {us:8.1f} us/iter  (nz sample {ev:.4f})",
+            ev = readback(m)
+            print(f"GC={gc:3d}  {us:8.1f} us/iter  (readback {ev:.4f})",
                   flush=True)
         except Exception as e:  # noqa: BLE001 — sweep survives bad configs
             print(f"GC={gc:3d}  FAILED: {type(e).__name__}: {str(e)[:140]}",
