@@ -23,7 +23,9 @@ from meta_learning_pacoh_tpu.utils.tuning import (
 )
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string("algo", "pacoh_map", "pacoh_map | pacoh_svgd | pacoh_vi")
+flags.DEFINE_string(
+    "algo", "pacoh_map",
+    "pacoh_map | pacoh_svgd | pacoh_vi | pacoh_mlap")
 flags.DEFINE_string("dataset", "sin_20", "dataset key")
 flags.DEFINE_integer("num_samples", 40, "number of TPE trials")
 flags.DEFINE_integer("n_iter_fit", 10000, "meta-train iterations per trial")
@@ -39,9 +41,18 @@ flags.DEFINE_boolean(
 flags.DEFINE_integer(
     "trial_batch_size", 1,
     "run TPE trials in batches of this size: same-shape configs are "
-    "vmapped into one compiled program over their (lr, weight_decay) "
-    "hyperparameters (utils/tuning_parallel.py — pacoh_map only; other "
-    "algos run each batch sequentially)")
+    "vmapped into one compiled program over their continuous "
+    "hyperparameters — lr/weight_decay (pacoh_map), lr/prior_factor/"
+    "bandwidth (pacoh_svgd), lr/prior_factor (pacoh_vi) "
+    "(utils/tuning_parallel.py; other algos run each batch sequentially)")
+
+# config keys that change tensor shapes / compiled-step structure — trials
+# are only vmapped together within a group that agrees on all of them
+BATCH_STATIC_KEYS = {
+    "pacoh_map": ("feature_dim", "task_batch_size"),
+    "pacoh_svgd": ("num_particles",),
+    "pacoh_vi": ("svi_batch_size",),
+}
 
 
 def search_space(algo):
@@ -64,6 +75,18 @@ def search_space(algo):
             "lr": LogUniform(5e-4, 5e-3),
             "prior_factor": LogUniform(1e-4, 1e-1),
             "svi_batch_size": Choice([5, 10]),
+        }
+    if algo == "pacoh_mlap":
+        # dimensions ported from the reference MLAP TPE search
+        # (reference: experiments/hyperparam_search/meta_mlap_hyperparam.py:104-112)
+        return {
+            "task_kl_weight": LogUniform(5e-2, 1.0),
+            "meta_kl_weight": LogUniform(1e-7, 1.0),
+            "lr": LogUniform(1e-4, 1e-3),
+            "lr_decay": LogUniform(0.92, 0.97),
+            "posterior_lr_multiplier": LogUniform(1.0, 10.0),
+            "svi_batch_size": Choice([5, 10]),
+            "task_batch_size": Choice([5, 20]),
         }
     raise ValueError(algo)
 
@@ -93,6 +116,19 @@ def build_model(algo, config, dataset, seed, n_iter):
         model = GPRegressionMetaLearnedVI(
             train, lr=config["lr"], prior_factor=config["prior_factor"],
             svi_batch_size=int(config["svi_batch_size"]),
+            num_iter_fit=n_iter, random_seed=seed,
+        )
+    elif algo == "pacoh_mlap":
+        from meta_learning_pacoh_tpu import GPRegressionMetaLearnedPAC
+
+        model = GPRegressionMetaLearnedPAC(
+            train, lr=config["lr"], lr_decay=config["lr_decay"],
+            task_kl_weight=config["task_kl_weight"],
+            meta_kl_weight=config["meta_kl_weight"],
+            posterior_lr_multiplier=config["posterior_lr_multiplier"],
+            svi_batch_size=int(config["svi_batch_size"]),
+            task_batch_size=int(config["task_batch_size"]),
+            mean_module="NN", covar_module="NN",
             num_iter_fit=n_iter, random_seed=seed,
         )
     else:
@@ -131,9 +167,9 @@ def main(argv):
                               n_eval_tasks=FLAGS.n_eval_tasks)
 
     batch_trial = None
-    if FLAGS.trial_batch_size > 1 and algo == "pacoh_map":
+    if FLAGS.trial_batch_size > 1 and algo in BATCH_STATIC_KEYS:
         from meta_learning_pacoh_tpu.utils.tuning_parallel import (
-            run_map_trial_batch,
+            run_trial_batch,
         )
 
         def batch_trial(configs):
@@ -150,8 +186,9 @@ def main(argv):
                     tests[id(model)][:FLAGS.n_eval_tasks])
                 return {"test_ll": ll, "test_rmse": rmse, "calib_err": calib}
 
-            return run_map_trial_batch(configs, build, evaluate,
-                                       n_iter=FLAGS.n_iter_fit)
+            return run_trial_batch(configs, build, evaluate,
+                                   n_iter=FLAGS.n_iter_fit,
+                                   static_keys=BATCH_STATIC_KEYS[algo])
 
     analysis = tune_run(
         trial, search_space(algo), num_samples=FLAGS.num_samples,

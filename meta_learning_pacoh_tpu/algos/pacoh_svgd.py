@@ -150,7 +150,7 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
         weight_by_counts = self._weight_by_counts()
         opt = self._opt
 
-        def single_step(carry, key_X_Y_M):
+        def single_step(carry, key_X_Y_M, pf, bw):
             key, X, Y, M = key_X_Y_M
             particles, opt_state = carry
             counts = None
@@ -169,22 +169,28 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
                 xb, yb, mb = X[idx], Y[idx], M[idx]
 
             def total_log_prob(p):
-                return jnp.sum(meta_log_prob(hyper_prior, prior_factor, p,
+                return jnp.sum(meta_log_prob(hyper_prior, pf, p,
                                              xb, yb, mb, counts=counts))
 
             score = jax.grad(total_log_prob)(particles)  # [K, P]
-            phi = svgd_phi(particles, score, kernel=kernel, bandwidth=bandwidth)
+            phi = svgd_phi(particles, score, kernel=kernel, bandwidth=bw)
             updates, opt_state = opt.update(-phi, opt_state, particles)
             particles = optax.apply_updates(particles, updates)
             return (particles, opt_state), jnp.mean(jnp.abs(phi))
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(particles, opt_state, X, Y, M, base_key, start_step, n_steps):
+        def run_chunk(particles, opt_state, X, Y, M, base_key, start_step,
+                      n_steps, pf=None, bw=None):
+            # pf / bw: optional TRACED overrides of prior_factor / bandwidth
+            # (utils/tuning_parallel vmaps trials over them); None keeps the
+            # constructor value as a compile-time constant.
+            pf = prior_factor if pf is None else pf
+            bw = bandwidth if bw is None else bw
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
 
             def body(carry, key):
-                return single_step(carry, (key, X, Y, M))
+                return single_step(carry, (key, X, Y, M), pf, bw)
 
             (particles, opt_state), phis = jax.lax.scan(
                 body, (particles, opt_state), keys

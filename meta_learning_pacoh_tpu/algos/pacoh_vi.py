@@ -151,9 +151,9 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         weight_by_counts = self._weight_by_counts()
         opt = self._opt
 
-        def neg_elbo(post, key, xb, yb, mb, counts=None):
+        def neg_elbo(post, key, xb, yb, mb, pf, counts=None):
             samples = posterior_rsample(post, key, svi_batch_size)  # [S, P]
-            lp = meta_log_prob(hyper_prior, prior_factor, samples, xb, yb, mb,
+            lp = meta_log_prob(hyper_prior, pf, samples, xb, yb, mb,
                                counts=counts)  # [S]
             # E_q[log q] == -H(q) exactly for a Gaussian: the reference
             # estimates it from samples (GPR_meta_vi.py:221), but for the
@@ -161,12 +161,12 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             # catastrophically ill-conditioned in f32 at P ~ thousands of
             # parameters; the closed form is the same objective with zero
             # variance and no solve.
-            elbo = jnp.mean(lp) + prior_factor * posterior_entropy(post)
+            elbo = jnp.mean(lp) + pf * posterior_entropy(post)
             return -elbo
 
         full_batch = batch_size == n_tasks
 
-        def single_step(carry, key, X, Y, M):
+        def single_step(carry, key, X, Y, M, pf):
             post, opt_state = carry
             k_task, k_sample = jax.random.split(key)
             if full_batch:
@@ -174,18 +174,23 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
             else:
                 idx = jax.random.randint(k_task, (batch_size,), 0, n_tasks)
                 xb, yb, mb = X[idx], Y[idx], M[idx]
-            loss, grads = jax.value_and_grad(neg_elbo)(post, k_sample, xb, yb, mb)
+            loss, grads = jax.value_and_grad(neg_elbo)(post, k_sample, xb, yb,
+                                                       mb, pf)
             updates, opt_state = opt.update(grads, opt_state, post)
             post = optax.apply_updates(post, updates)
             return (post, opt_state), loss
 
         @functools.partial(jax.jit, static_argnames=("n_steps",))
-        def run_chunk(post, opt_state, X, Y, M, base_key, start_step, n_steps):
+        def run_chunk(post, opt_state, X, Y, M, base_key, start_step, n_steps,
+                      pf=None):
+            # pf: optional TRACED prior_factor override (utils/tuning_parallel
+            # vmaps trials over it); None keeps the constructor constant.
+            pf = prior_factor if pf is None else pf
             steps = start_step + jnp.arange(n_steps)
             keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(steps)
 
             def body(carry, key):
-                return single_step(carry, key, X, Y, M)
+                return single_step(carry, key, X, Y, M, pf)
 
             (post, opt_state), losses = jax.lax.scan(body, (post, opt_state), keys)
             return post, opt_state, losses

@@ -16,13 +16,20 @@ import numpy as np
 import jax
 import pytest
 
-from meta_learning_pacoh_tpu import GPRegressionMetaLearned
+from meta_learning_pacoh_tpu import (
+    GPRegressionMetaLearned,
+    GPRegressionMetaLearnedSVGD,
+    GPRegressionMetaLearnedVI,
+)
 from meta_learning_pacoh_tpu.datasets import SinusoidDataset
 from meta_learning_pacoh_tpu.utils.tuning import (
     LogUniform, TPESuggest, Uniform, tune_run,
 )
 from meta_learning_pacoh_tpu.utils.tuning_parallel import (
+    fit_hyper_parallel,
     fit_map_hyper_parallel,
+    fit_svgd_hyper_parallel,
+    fit_vi_hyper_parallel,
     run_map_trial_batch,
 )
 
@@ -116,6 +123,92 @@ def test_hyper_parallel_rejects_mixed_static_configs():
         fit_map_hyper_parallel(
             [_build(mt, 1e-3, 0.1, feature_dim=2),
              _build(mt, 1e-3, 0.1, feature_dim=4)], n_iter=5)
+
+
+def _build_svgd(mt, lr, pf, bw, seed=30, n_iter=20):
+    return GPRegressionMetaLearnedSVGD(
+        mt, num_iter_fit=n_iter, random_seed=seed, lr=lr, prior_factor=pf,
+        bandwidth=bw, num_particles=3, task_batch_size=-1,
+        mean_nn_layers=HIDDEN, kernel_nn_layers=HIDDEN,
+    )
+
+
+def _build_vi(mt, lr, pf, seed=30, n_iter=20):
+    return GPRegressionMetaLearnedVI(
+        mt, num_iter_fit=n_iter, random_seed=seed, lr=lr, prior_factor=pf,
+        svi_batch_size=2, task_batch_size=-1,
+        mean_nn_layers=HIDDEN, kernel_nn_layers=HIDDEN,
+    )
+
+
+def test_svgd_hyper_parallel_matches_sequential():
+    """K SVGD trials differing in lr / prior_factor / bandwidth, one vmapped
+    program == per-model sequential meta_fit (round-5: VERDICT next #4 —
+    reference role: concurrent Ray trials, custom_tune/trial_runner.py:80)."""
+    mt = _tasks()
+    hypers = [(1e-3, 0.01, 2.0), (3e-3, 0.05, 0.5)]
+    n_iter = 20
+
+    seq = [_build_svgd(mt, *h) for h in hypers]
+    for m in seq:
+        m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+
+    par = [_build_svgd(mt, *h) for h in hypers]
+    fit_hyper_parallel(par, n_iter=n_iter)  # dispatches on learner type
+
+    for m_s, m_p in zip(seq, par):
+        assert m_p.fitted and m_p._step_count == n_iter
+        np.testing.assert_allclose(
+            np.asarray(m_p.particles), np.asarray(m_s.particles),
+            rtol=2e-4, atol=5e-5)
+
+
+def test_svgd_hyper_parallel_median_bandwidth():
+    """All-None bandwidths ride the median-heuristic kernel under the same
+    vmap; a mixed batch is rejected (tune_run then falls back sequential)."""
+    mt = _tasks()
+    n_iter = 10
+    par = [_build_svgd(mt, 1e-3, 0.01, None),
+           _build_svgd(mt, 2e-3, 0.02, None)]
+    seq = _build_svgd(mt, 1e-3, 0.01, None)
+    seq.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+    fit_svgd_hyper_parallel(par, n_iter=n_iter)
+    np.testing.assert_allclose(
+        np.asarray(par[0].particles), np.asarray(seq.particles),
+        rtol=2e-4, atol=1e-5)
+
+    with pytest.raises(AssertionError):
+        fit_svgd_hyper_parallel(
+            [_build_svgd(mt, 1e-3, 0.01, None),
+             _build_svgd(mt, 1e-3, 0.01, 1.0)], n_iter=2)
+
+
+def test_vi_hyper_parallel_matches_sequential():
+    mt = _tasks()
+    hypers = [(1e-3, 0.01), (3e-3, 0.05)]
+    n_iter = 20
+
+    seq = [_build_vi(mt, *h) for h in hypers]
+    for m in seq:
+        m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
+
+    par = [_build_vi(mt, *h) for h in hypers]
+    fit_vi_hyper_parallel(par, n_iter=n_iter)
+
+    for m_s, m_p in zip(seq, par):
+        assert m_p.fitted and m_p._step_count == n_iter
+        for got, want in zip(jax.tree.leaves(m_p.posterior),
+                             jax.tree.leaves(m_s.posterior)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=1e-5)
+
+
+def test_fit_hyper_parallel_rejects_unsupported_learner():
+    class Dummy:
+        pass
+
+    with pytest.raises(NotImplementedError):
+        fit_hyper_parallel([Dummy()])
 
 
 SPACE = {"x": Uniform(0.0, 1.0), "y": LogUniform(1e-3, 1.0)}
