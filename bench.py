@@ -54,6 +54,30 @@ def main():
 
     ll, rmse, calib = m.eval_datasets(meta_test)
 
+    # accuracy spread: the same flagship config over 3 seeds, trained as ONE
+    # vmapped seed-parallel program (parallel/seed_parallel.py), so the
+    # headline LL carries an error bar (reference analog: the 5-seed eval
+    # protocol, experiments/baselines/baseline_comparison.py:17-21).
+    # Seed 30 re-trains inside the stack; its solo numbers stay above for
+    # cross-round continuity.
+    seed_lls, seed_rmses = [], []
+    try:
+        from meta_learning_pacoh_tpu.parallel import fit_models_parallel
+
+        seed_models = [
+            GPRegressionMetaLearnedSVGD(
+                meta_train, num_iter_fit=n_iter, num_particles=10,
+                random_seed=s, prior_factor=0.01, task_batch_size=-1)
+            for s in (30, 31, 32)
+        ]
+        fit_models_parallel(seed_models, n_iter=n_iter, log_period=n_iter)
+        for sm in seed_models:
+            s_ll, s_rmse, _ = sm.eval_datasets(meta_test)
+            seed_lls.append(float(s_ll))
+            seed_rmses.append(float(s_rmse))
+    except Exception:  # keep the bench alive if the stacked fit fails
+        pass
+
     # driver micro-metric (BASELINE.json): batched Cholesky+LML gradient, us.
     # 20 iterations fused into one lax.scan dispatch so the number is device
     # time, not the tunneled per-dispatch overhead.
@@ -142,6 +166,12 @@ def main():
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
     algos["vi_t5_n200_xla"] = lambda: GPRegressionMetaLearnedVI(
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
+    # ... and MLAP: its fused window is N <= 8, so at this shape it runs the
+    # XLA + blocked-Pallas-linalg path — the row makes that cost visible
+    # (reference meta-test at this scale dominates eval, SURVEY §3.2)
+    algos["mlap_t5_n200"] = lambda: GPRegressionMetaLearnedPAC(
+        big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1,
+        covar_module="NN", mean_module="NN", meta_kl_weight=1e-3)
 
     def _state_leaf(model, name):
         if name.startswith("svgd"):
@@ -149,12 +179,15 @@ def main():
         return model.posterior if name.startswith("vi") else model.params
 
     mlap_model = None
+    mlap_bign_model = None
     for name, build in algos.items():
         if name.endswith("_xla"):
             os.environ["PACOH_TPU_DISABLE_FUSED"] = "1"
         model = build()
         if name == "mlap":
             mlap_model = model
+        elif name == "mlap_t5_n200":
+            mlap_bign_model = model
         n_time = 500 if "t5_n200" in name else 5000
         # warm with the SAME chunk length; time a full chunk so the
         # per-dispatch tunnel latency amortizes out of the per-iter number
@@ -192,6 +225,24 @@ def main():
         mt_samples.append((time.time() - t0) / len(ctx))
     mlap_meta_test_s_per_task = float(np.mean(mt_samples))
 
+    # MLAP meta-test at the Swissfel shape (N=200 context): the dominant
+    # reference eval cost at the only real-data scale (SURVEY §3.2). Runs
+    # the vmapped-scan XLA path + blocked Pallas linalg; fewer repeats —
+    # each call is 3000 N=200 inner Adam steps.
+    big_test = env_big.generate_meta_test_data(
+        n_tasks=5, n_samples_context=200, n_samples_test=20)
+    ctx_big = [t[:2] for t in big_test]
+    for _ in range(2):
+        st = mlap_bign_model._meta_test_inference(ctx_big, n_iter=3000)
+        float(jnp.asarray(st["q_means"]).ravel()[0])
+    mtb_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        st = mlap_bign_model._meta_test_inference(ctx_big, n_iter=3000)
+        float(jnp.asarray(st["q_means"]).ravel()[0])
+        mtb_samples.append((time.time() - t0) / len(ctx_big))
+    mlap_bign_meta_test_s_per_task = float(np.mean(mtb_samples))
+
     # measured torch-CPU baseline for the same step (tools/torch_svgd_timing:
     # reference SVGD math in plain torch; 'batched' fuses all tasks into one
     # K*T cholesky — a STRONGER baseline than the reference's per-task loop)
@@ -218,6 +269,15 @@ def main():
             "test_ll": round(ll, 4),
             "test_rmse": round(rmse, 4),
             "calib_err": round(calib, 4),
+            "test_ll_mean": (round(float(np.mean(seed_lls)), 4)
+                             if seed_lls else None),
+            "test_ll_std": (round(float(np.std(seed_lls)), 4)
+                            if seed_lls else None),
+            "test_ll_seeds": [round(v, 4) for v in seed_lls],
+            "test_rmse_mean": (round(float(np.mean(seed_rmses)), 4)
+                               if seed_rmses else None),
+            "test_rmse_std": (round(float(np.std(seed_rmses)), 4)
+                              if seed_rmses else None),
             "batched_chol_lml_grad_us_B200_N20": round(mll_grad_us_n20, 1),
             "batched_chol_lml_grad_us_B200_N200": round(mll_grad_us_n200, 1),
             # utilization of the blocked value+grad MLL at B=200/N=200:
@@ -234,6 +294,8 @@ def main():
             "per_iter_ms_std": per_iter_ms_std,
             "mlap_meta_test_s_per_task_3000steps": round(
                 mlap_meta_test_s_per_task, 3),
+            "mlap_t5_n200_meta_test_s_per_task_3000steps": round(
+                mlap_bign_meta_test_s_per_task, 3),
             "torch_cpu_svgd_steps_per_sec": torch_sps,
             "speedup_vs_torch_cpu_batched": (
                 round(steps_per_sec / torch_sps["batched"], 1)
