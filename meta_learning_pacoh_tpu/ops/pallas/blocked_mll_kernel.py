@@ -436,8 +436,13 @@ def logdet_blocked(l_ref):
 
 def assemble_w_inv(l_ref, wd_ref, w_ref):
     """W = L^{-1} blockwise into w_ref: W[i][i] = Wd_i (the forward's stored
-    diag-block inverses — no scalar substitution loops re-run here),
-    W[i][j<i] = -Wd_i (sum_{k=j..i-1} L[i,k] W[k,j]). Pure MXU matmuls."""
+    diag-block inverses — no scalar substitution loops re-run here);
+    off-diagonals LEFT-LOOKING by row panel: the whole row strip
+    W[i, :i] = -Wd_i (L[i, :i] @ W[:i, :i]) comes from TWO batched matmuls
+    (K grows with i) instead of the old right-looking i small dots per row
+    — the G-serialized small-matmul count drops from O(P^2) to 2(P-1) per
+    system (round-5: VERDICT next #3). The k < j blocks of W[:i, :i] are
+    zero, so the wide contraction computes the same sum_{k=j..i-1}."""
     np_ = l_ref.shape[-1]
     n_panels = np_ // _NB
     w_ref[...] = jnp.zeros_like(w_ref)
@@ -447,16 +452,11 @@ def assemble_w_inv(l_ref, wd_ref, w_ref):
         w_ref[:, io:io + _NB, io:io + _NB] = Wd_i
         if "no_offdiag_w" in _ABLATE:  # profiling only
             continue
-        for j in range(i):
-            jo = j * _NB
-            acc = None
-            for k in range(j, i):
-                ko = k * _NB
-                Lik = l_ref[:, io:io + _NB, ko:ko + _NB]
-                Wkj = w_ref[:, ko:ko + _NB, jo:jo + _NB]
-                term = _bmm(Lik, Wkj)
-                acc = term if acc is None else acc + term
-            w_ref[:, io:io + _NB, jo:jo + _NB] = -_bmm(Wd_i, acc)
+        if i > 0:
+            L_row = l_ref[:, io:io + _NB, 0:io]   # [G, NB, i*NB]
+            W_tl = w_ref[:, 0:io, 0:io]           # [G, i*NB, i*NB]
+            M1 = _bmm(L_row, W_tl)                # [G, NB, i*NB]
+            w_ref[:, io:io + _NB, 0:io] = -_bmm(Wd_i, M1)
 
 
 def _mll_fwd_kernel(n_real, kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref,
