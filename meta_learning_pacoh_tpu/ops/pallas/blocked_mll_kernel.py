@@ -30,6 +30,7 @@ kernel factored all three levels unconditionally).
 """
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +53,30 @@ _G_BUDGET = 8 * 2**20  # bytes per system-matrix (see _group_size)
 _VMEM_LIMIT = 100 * 1024 * 1024  # pallas scoped-vmem ceiling (sweepable)
 _G_MAX = 128  # systems ride the 128 lanes in the base-tile recurrences
 
+# Optional separate FWD group budget (sweepable; the in-place refactor
+# leaves the fwd kernel only two [G, Np, Np] streams so G=64 COMPILES at a
+# 120 MB ceiling — but measured SLOWER: 5218 us fwd at G=64 vs 3151 at
+# G=32 for B=200/N=200, i.e. per-system cost RISES with G; the lane-major
+# recurrences are not lane-bound below G=128 and bigger working sets lose
+# pipelining room. Default stays at the generic budget. The BWD kernel
+# always uses the generic budget (at G=64 it needs 168 MB > 128 MB
+# physical; the custom VJP regroups freely between the two calls).
+_G_BUDGET_FWD = int(_os.environ.get("PACOH_TPU_FWD_G_MB", "8")) * 2**20
+_VMEM_LIMIT_FWD = 120 * 1024 * 1024
 
-def _group_size(np_, b=None):
+# Packed-coupling chunk size: the panel-coupling matmuls (X = Bp Wd^T and
+# the SYRK) run as wide block-diagonal MXU contractions over chunks of
+# _PACK_GP systems instead of G-serialized batched dots. MEASURED OFF by
+# default: at B=200/N=200/G=32 on v5e the packed path is ~20% SLOWER
+# (fwd 3721 vs 3191 us, tools/blocked_sweep.py packed4= vs batched=) —
+# the round-4 "G-serialized couplings ~2.6 ms" attribution was stale; a
+# no_panel_solve+no_syrk ablation shows the couplings cost only ~180 us
+# fwd, so the BD copies + _PACK_GP-fold structural-zero FLOPs can only
+# lose. Kept as a sweepable knob for other shapes.
+_PACK_GP = int(_os.environ.get("PACOH_TPU_PACK_GP", "0"))
+
+
+def _group_size(np_, b=None, budget=None):
     """Systems per grid step. The base-tile recurrences run lane-major
     ([s, s, G] with the G systems in the lane dimension), so the scalar
     phase gets cheaper per system the closer G is to 128 lanes — the old
@@ -61,13 +84,14 @@ def _group_size(np_, b=None):
     is why G>8 used to regress (round-3 note). VMEM bounds G from above
     (~6 live [G, Np, Np] f32 buffers inside the 100 MB ceiling), and there
     is no point exceeding the padded batch."""
-    g = max(1, _G_BUDGET // (np_ * np_ * 4))
+    g = max(1, (budget or _G_BUDGET) // (np_ * np_ * 4))
     if b is not None:
-        p2b = 1
-        while p2b < b:
-            p2b *= 2
-        g = min(g, p2b)
-    for p2 in (128, 64, 32, 16, 8, 4, 2, 1):
+        g = min(g, -(-b // 8) * 8)  # no point exceeding the padded batch
+    if g >= 8:
+        # any multiple of 8 works (G rides the lane dim after the panel
+        # relayout — utilization is G/128, no power-of-2 requirement)
+        return min(8 * (g // 8), _G_MAX)
+    for p2 in (4, 2, 1):
         if g >= p2:
             return p2
     return 1
@@ -302,80 +326,217 @@ def _diag3(M):
     return jnp.sum(jnp.where(rows == cols, M, 0.0), axis=2)
 
 
-def factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, jit_g,
-                  border=None):
-    """One blocked factorization pass of read_kn() + jit_g * eye_real into
-    l_ref (L, lower) and wd_ref (diag-block inverses), consuming trail_ref.
-    jit_g: [G, 1, 1] per-system jitter. Shared by the standalone MLL kernel
-    and the fused big-N training mega-kernels.
+def _coupling_batched(work_ref, wd_ref, po):
+    """Panel couplings as G-batched dots, IN-PLACE in the work matrix
+    (classic in-place blocked Cholesky: X overwrites Bp, SYRK updates the
+    trailing square)."""
+    Wd = wd_ref[:, po:po + _NB, :]
+    Bp = work_ref[:, po + _NB:, po:po + _NB]  # [G, R, NB]
+    if "no_panel_solve" in _ABLATE:  # profiling only
+        X = Bp
+    else:
+        X = _bmm_nt(Bp, Wd)  # X = Bp Ld^{-T}
+    work_ref[:, po + _NB:, po:po + _NB] = X
+    if "no_syrk" in _ABLATE:  # profiling only
+        return
+    work_ref[:, po + _NB:, po + _NB:] = (
+        work_ref[:, po + _NB:, po + _NB:] - _bmm_nt(X, X)
+    )
 
-    border=(j, row): plant `row` [G, 1, Np] as row j of the trail (a row in
-    the identity-padding region, j >= n_real). Factoring the bordered matrix
-    [[K, 0], [r^T, c]] makes row j of L equal to z^T = (L_K^{-1} r)^T — the
-    forward substitution comes out of the panel solves that already process
-    the padding rows, replacing the serialized zsubst_blocked matvecs. The
-    caller extracts z from l_ref and cleans row j back to identity
-    (clean_border) before the backward consumes L/Wd."""
-    np_ = trail_ref.shape[-1]
+
+def _coupling_packed(work_ref, wd_ref, bd_ref, bdw_ref, gp, po):
+    """Panel couplings as wide block-diagonal MXU contractions over chunks
+    of gp systems (round-5 VERDICT next #3: break the G-serialized
+    small-matmul bound). Per chunk, THREE large matmuls replace 2*gp small
+    ones:
+
+      xt = BD(Wd) @ vstack(Bp^T)    [gp*NB, R]   row block g = X_g^T
+      x  = BD(Bp) @ vstack(Wd^T)    [gp*Rm, NB]  row block g = X_g
+      u  = BD(X)  @ xt              [gp*Rm, R]   row block g = X_g X_g^T
+
+    Bp^T is a FREE read of the work matrix's upper slice — the live trail
+    is kept exactly symmetric (Gram symmetric, SYRK update symmetric,
+    border row planted as row AND column; X overwrites Bp in the lower
+    slice only, whose upper twin is never read again). bd_ref rows above
+    the current panel's R hold stale values from earlier (wider) panels;
+    matmul rows are independent and those output rows are never read, so
+    no re-zeroing is needed — only the off-block region must stay zero
+    (zeroed once per factorization pass by the caller)."""
+    g = work_ref.shape[0]
+    np_ = work_ref.shape[-1]
+    r = np_ - po - _NB
+    r_max = np_ - _NB
+    for c in range(g // gp):
+        g0 = c * gp
+        for q in range(gp):
+            bdw_ref[q * _NB:(q + 1) * _NB, q * _NB:(q + 1) * _NB] = (
+                wd_ref[g0 + q, po:po + _NB, :])
+            bd_ref[q * r_max:q * r_max + r, q * _NB:(q + 1) * _NB] = (
+                work_ref[g0 + q, po + _NB:, po:po + _NB])
+        bpt = work_ref[g0:g0 + gp, po:po + _NB, po + _NB:].reshape(
+            gp * _NB, r)
+        xt = jnp.dot(bdw_ref[...], bpt,
+                     preferred_element_type=jnp.float32)      # [gp*NB, r]
+        wdt = jnp.swapaxes(
+            wd_ref[g0:g0 + gp, po:po + _NB, :], 1, 2).reshape(gp * _NB, _NB)
+        x_stack = jnp.dot(bd_ref[...], wdt,
+                          preferred_element_type=jnp.float32)  # [gp*Rm, NB]
+        x3 = x_stack.reshape(gp, r_max, _NB)[:, :r, :]
+        work_ref[g0:g0 + gp, po + _NB:, po:po + _NB] = x3
+        for q in range(gp):
+            bd_ref[q * r_max:q * r_max + r, q * _NB:(q + 1) * _NB] = x3[q]
+        u_stack = jnp.dot(bd_ref[...], xt,
+                          preferred_element_type=jnp.float32)  # [gp*Rm, r]
+        u3 = u_stack.reshape(gp, r_max, r)[:, :r, :]
+        work_ref[g0:g0 + gp, po + _NB:, po + _NB:] = (
+            work_ref[g0:g0 + gp, po + _NB:, po + _NB:] - u3)
+
+
+def _pack_gp(g, n_panels):
+    """Packed-coupling chunk size for a G-system group (0 = use batched)."""
+    if _PACK_GP <= 1 or n_panels < 2 or g % min(_PACK_GP, g) != 0:
+        return 0
+    if _ABLATE & {"no_panel_solve", "no_syrk", "batched_coupling"}:
+        return 0
+    return min(_PACK_GP, g)
+
+
+def _panel_loop(work_ref, wd_ref, packed):
+    """Right-looking blocked Cholesky IN PLACE over work_ref: the diag
+    panels and panel solves overwrite the lower triangle with L while the
+    trailing square holds the live (symmetric) trail; the upper triangle
+    above processed panels is left as stale Bp^T and never read again —
+    consumers of "L" (zsubst, logdet, assemble_w_inv, the bwd kernel) only
+    read the lower triangle. Merging L and the trail saves a [G, Np, Np]
+    VMEM buffer per group, which is what bounds the lane-parallel group
+    size G. packed is (bd_ref, bdw_ref, gp) for wide-MXU couplings or
+    None for batched dots."""
+    np_ = work_ref.shape[-1]
     n_panels = np_ // _NB
-    trail_ref[...] = read_kn() + jit_g * eye_real
-    if border is not None:
-        j_b, row_b = border
-        trail_ref[:, j_b:j_b + 1, :] = row_b
-    l_ref[...] = jnp.zeros_like(l_ref)
     for p in range(n_panels):
         po = p * _NB
         Lp, Wdp = _factor_diag_panel(
-            trail_ref[:, po:po + _NB, po:po + _NB])
-        l_ref[:, po:po + _NB, po:po + _NB] = Lp
+            work_ref[:, po:po + _NB, po:po + _NB])
+        work_ref[:, po:po + _NB, po:po + _NB] = Lp
         wd_ref[:, po:po + _NB, :] = Wdp
         if p < n_panels - 1:
-            Wd = wd_ref[:, po:po + _NB, :]
-            Bp = trail_ref[:, po + _NB:, po:po + _NB]  # [G, R, NB]
-            if "no_panel_solve" in _ABLATE:  # profiling only
-                X = Bp
+            if packed is None:
+                _coupling_batched(work_ref, wd_ref, po)
             else:
-                X = _bmm_nt(Bp, Wd)  # X = Bp Ld^{-T}
-            l_ref[:, po + _NB:, po:po + _NB] = X
-            if "no_syrk" in _ABLATE:  # profiling only
-                continue
-            trail_ref[:, po + _NB:, po + _NB:] = (
-                trail_ref[:, po + _NB:, po + _NB:] - _bmm_nt(X, X)
-            )
+                bd_ref, bdw_ref, gp = packed
+                _coupling_packed(work_ref, wd_ref, bd_ref, bdw_ref,
+                                 gp, po)
 
 
-def factor_escalated(trail_ref, l_ref, wd_ref, read_kn, eye_real,
-                     border=None):
-    """Blocked factorization with per-system jitter escalation
+def _with_packed_scratch(g, np_, body):
+    """Allocate the packed-coupling BD scratch (if enabled for this G) and
+    call body(packed) with packed = (bd_ref, bdw_ref, gp) or None. The
+    off-block regions are zeroed once here — block regions are fully
+    overwritten per chunk and stale rows above the live panel R are never
+    read (see _coupling_packed)."""
+    gp = _pack_gp(g, np_ // _NB)
+    if not gp:
+        return body(None)
+    r_max = np_ - _NB
+
+    def scoped(bd_ref, bdw_ref):
+        bd_ref[...] = jnp.zeros_like(bd_ref)
+        bdw_ref[...] = jnp.zeros_like(bdw_ref)
+        return body((bd_ref, bdw_ref, gp))
+
+    return pl.run_scoped(scoped,
+                         pltpu.VMEM((gp * r_max, gp * _NB), jnp.float32),
+                         pltpu.VMEM((gp * _NB, gp * _NB), jnp.float32))
+
+
+def factor_panels(work_ref, wd_ref, read_kn, eye_real, jit_g,
+                  border=None, packed="alloc"):
+    """One IN-PLACE blocked factorization pass of read_kn() + jit_g *
+    eye_real in work_ref (lower triangle becomes L; upper keeps stale
+    symmetric trail values that are never read) plus wd_ref (diag-block
+    inverses). jit_g: [G, 1, 1] per-system jitter. Shared by the standalone
+    MLL kernel and the fused big-N training mega-kernels. read_kn must
+    return an exactly symmetric matrix (Gram builds are).
+
+    border=(j, row): plant `row` [G, 1, Np] as row j of the work matrix (a
+    row in the identity-padding region, j >= n_real). Factoring the bordered
+    matrix [[K, 0], [r^T, c]] makes row j of L equal to
+    z^T = (L_K^{-1} r)^T — the forward substitution comes out of the panel
+    solves that already process the padding rows, replacing the serialized
+    zsubst_blocked matvecs. The caller extracts z from work_ref and cleans
+    row j back to identity (extract_border_z) before the backward consumes
+    L/Wd. The row is also planted as the matching COLUMN: the bordered
+    system is symmetric, and the packed couplings read Bp^T off the upper
+    trail.
+
+    packed: "alloc" (default) allocates BD scratch here via run_scoped;
+    an explicit (bd_ref, bdw_ref, gp) / None is passed by factor_escalated,
+    whose pl.when escalation branches must not re-allocate scopes."""
+    np_ = work_ref.shape[-1]
+    g = work_ref.shape[0]
+    work_ref[...] = read_kn() + jit_g * eye_real
+    if border is not None:
+        j_b, row_b = border
+        work_ref[:, j_b:j_b + 1, :] = row_b
+        packing = (bool(_pack_gp(g, np_ // _NB)) if packed == "alloc"
+                   else packed is not None)
+        if packing:
+            # column twin keeps the trail exactly symmetric — ONLY the
+            # packed couplings read Bp^T off the upper trail; the
+            # [G, Np, 1] lane-strided store is expensive, so the batched
+            # path skips it (it only ever reads the lower triangle)
+            work_ref[:, :, j_b:j_b + 1] = jnp.swapaxes(row_b, 1, 2)
+    if packed == "alloc":
+        _with_packed_scratch(
+            g, np_,
+            lambda pk: _panel_loop(work_ref, wd_ref, pk))
+    else:
+        _panel_loop(work_ref, wd_ref, packed)
+
+
+def factor_escalated(work_ref, wd_ref, read_kn, eye_real, border=None):
+    """In-place blocked factorization with per-system jitter escalation
     (0 -> 1e-4 -> 1e-2, gpytorch psd-safe semantics) behind a
     single-factorization fast path: only if some system's no-jitter factor
-    fails does a pl.when branch refactor the group with escalated jitter.
+    fails does a pl.when branch refactor the group with escalated jitter
+    (read_kn re-reads the pristine Gram, so in-place consumption of
+    work_ref is safe across passes).
     border: see factor_panels (replanted on every escalation pass)."""
     def ok_per_system():
-        d = _diag3(l_ref[...])  # [G, Np]
+        d = _diag3(work_ref[...])  # [G, Np]
         fin = jnp.isfinite(d) & (d > 0.0)
         return jnp.min(fin.astype(jnp.float32), axis=1, keepdims=True)[..., None]
 
-    g = trail_ref.shape[0]
+    g = work_ref.shape[0]
+    np_ = work_ref.shape[-1]
     zero_j = jnp.zeros((g, 1, 1), jnp.float32)
-    factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real, zero_j,
-                  border=border)
 
-    if "no_jitter_trials" not in _ABLATE:
-        ok0 = ok_per_system()  # [G, 1, 1]
+    def escalate(packed):
+        factor_panels(work_ref, wd_ref, read_kn, eye_real, zero_j,
+                      border=border, packed=packed)
 
-        @pl.when(jnp.min(ok0) < 0.5)
-        def _():
-            factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real,
-                          jnp.where(ok0 > 0.5, 0.0, 1e-4), border=border)
-            ok1 = ok_per_system()
+        if "no_jitter_trials" not in _ABLATE:
+            ok0 = ok_per_system()  # [G, 1, 1]
 
-            @pl.when(jnp.min(ok1) < 0.5)
+            @pl.when(jnp.min(ok0) < 0.5)
             def _():
-                factor_panels(trail_ref, l_ref, wd_ref, read_kn, eye_real,
-                              jnp.where(ok0 > 0.5, 0.0,
-                                        jnp.where(ok1 > 0.5, 1e-4, 1e-2)),
-                              border=border)
+                factor_panels(work_ref, wd_ref, read_kn, eye_real,
+                              jnp.where(ok0 > 0.5, 0.0, 1e-4), border=border,
+                              packed=packed)
+                ok1 = ok_per_system()
+
+                @pl.when(jnp.min(ok1) < 0.5)
+                def _():
+                    factor_panels(work_ref, wd_ref, read_kn,
+                                  eye_real,
+                                  jnp.where(ok0 > 0.5, 0.0,
+                                            jnp.where(ok1 > 0.5, 1e-4,
+                                                      1e-2)),
+                                  border=border, packed=packed)
+
+    # BD scratch allocated ONCE out here: the pl.when escalation branches
+    # must not open run_scoped regions of their own
+    _with_packed_scratch(g, np_, escalate)
 
 
 _BORDER_KAPPA = 1e8  # corner constant factor: c = kappa * (|r|^2 + 1).
@@ -460,25 +621,26 @@ def assemble_w_inv(l_ref, wd_ref, w_ref):
 
 
 def _mll_fwd_kernel(n_real, kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref,
-                    wd_ref, trail_ref):
+                    wd_ref):
     np_ = kn_ref.shape[-1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, np_, np_), 1)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, np_, np_), 2)
     # jitter lands on the REAL diagonal only — padding rows stay exactly I
     eye_real = jnp.where((rows == cols) & (rows < n_real), 1.0, 0.0)
 
+    # in-place: l_ref doubles as the factorization work matrix (its upper
+    # triangle ends up holding stale trail values the backward never reads)
     if (n_real < np_ and "no_zsubst" not in _ABLATE
             and "no_border" not in _ABLATE):
         # bordered system: z = L^{-1} r comes out of the panel solves that
         # already process the padding rows — no serialized substitution pass
         border = (n_real, make_border_row(r_ref[...], n_real))
-        factor_escalated(trail_ref, l_ref, wd_ref, lambda: kn_ref[...],
+        factor_escalated(l_ref, wd_ref, lambda: kn_ref[...],
                          eye_real, border=border)
         z = extract_border_z(l_ref, wd_ref, n_real)
         z_ref[...] = z
     else:
-        factor_escalated(trail_ref, l_ref, wd_ref, lambda: kn_ref[...],
-                         eye_real)
+        factor_escalated(l_ref, wd_ref, lambda: kn_ref[...], eye_real)
         if "no_zsubst" in _ABLATE:  # profiling only
             z_ref[...] = jnp.broadcast_to(r_ref[...], z_ref.shape)
             z = z_ref[...]
@@ -512,7 +674,7 @@ def _mll_bwd_kernel(l_ref, wd_ref, z_ref, gq_ref, gl_ref, dkn_ref, dr_ref,
 @functools.partial(jax.jit, static_argnames=("n_real", "interpret"))
 def _blocked_fwd_call(kn, r, n_real, interpret=False):
     b, np_ = kn.shape[0], kn.shape[-1]
-    g = _group_size(np_, b)
+    g = _group_size(np_, b, _G_BUDGET_FWD)
     grid = (pl.cdiv(b, g),)
     specs = dict(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -536,15 +698,12 @@ def _blocked_fwd_call(kn, r, n_real, interpret=False):
             jax.ShapeDtypeStruct((b, 1, np_), kn.dtype),
             jax.ShapeDtypeStruct((b, np_, _NB), kn.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((g, np_, np_), jnp.float32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * np_**3, bytes_accessed=3 * b * np_ * np_ * 4,
             transcendentals=2 * b * np_,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=max(_VMEM_LIMIT, _VMEM_LIMIT_FWD)),
         interpret=interpret,
     )(kn, r)
 
@@ -553,6 +712,8 @@ def _blocked_fwd_call(kn, r, n_real, interpret=False):
 def _blocked_bwd_call(L, Wd, z, gq, gl, interpret=False):
     b, np_ = L.shape[0], L.shape[-1]
     g = _group_size(np_, b)
+    while g > 1 and b % g:
+        g -= 8 if g > 8 else g // 2  # must divide the fwd-padded batch
     grid = (pl.cdiv(b, g),)
     specs = dict(memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -590,7 +751,7 @@ def _pad_systems(kn, r):
     a multiple of the VMEM group size (extra systems = identity)."""
     b, n = kn.shape[0], kn.shape[-1]
     np_ = max(_NB, ((n + _NB - 1) // _NB) * _NB)
-    g = _group_size(np_, b)
+    g = _group_size(np_, b, _G_BUDGET_FWD)
     bp = ((b + g - 1) // g) * g
 
     eye = jnp.eye(np_, dtype=kn.dtype)
@@ -599,28 +760,19 @@ def _pad_systems(kn, r):
     return kn_p, r_p, np_, bp
 
 
-def _chol_only_kernel(kn_ref, l_ref, trail_ref, wd_ref):
+def _chol_only_kernel(kn_ref, l_ref, wd_ref):
     """Factor-only variant: L = chol(kn), no jitter escalation (callers like
     safe_cholesky escalate at the host level; a failed pivot propagates NaN
-    through the diagonal exactly like XLA's cholesky)."""
+    through the diagonal exactly like XLA's cholesky). Input must be
+    symmetric (the packed couplings read Bp^T off the upper trail; the
+    host wrapper mirrors the lower triangle up, matching XLA semantics).
+    In-place: l_ref is the work matrix — the host wrapper tril-masks the
+    stale upper triangle."""
     np_ = kn_ref.shape[-1]
-    n_panels = np_ // _NB
-    trail_ref[...] = kn_ref[...]
-    l_ref[...] = jnp.zeros_like(l_ref)
-    for p in range(n_panels):
-        po = p * _NB
-        Lp, Wdp = _factor_diag_panel(
-            trail_ref[:, po:po + _NB, po:po + _NB])
-        l_ref[:, po:po + _NB, po:po + _NB] = Lp
-        wd_ref[:, po:po + _NB, :] = Wdp
-        if p < n_panels - 1:
-            Wd = wd_ref[:, po:po + _NB, :]
-            Bp = trail_ref[:, po + _NB:, po:po + _NB]
-            X = _bmm_nt(Bp, Wd)
-            l_ref[:, po + _NB:, po:po + _NB] = X
-            trail_ref[:, po + _NB:, po + _NB:] = (
-                trail_ref[:, po + _NB:, po + _NB:] - _bmm_nt(X, X)
-            )
+    g = kn_ref.shape[0]
+    l_ref[...] = kn_ref[...]
+    _with_packed_scratch(
+        g, np_, lambda pk: _panel_loop(l_ref, wd_ref, pk))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -636,7 +788,6 @@ def _chol_only_call(kn, interpret=False):
         out_specs=pl.BlockSpec((g, np_, np_), lambda i: (i, 0, 0), **specs),
         out_shape=jax.ShapeDtypeStruct((b, np_, np_), kn.dtype),
         scratch_shapes=[
-            pltpu.VMEM((g, np_, np_), jnp.float32),
             pltpu.VMEM((g, np_, _NB), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -658,13 +809,17 @@ def blocked_cholesky(a):
     for d in batch_shape:
         b *= d
     a2 = a.reshape((b, n, n))
+    # XLA-cholesky semantics (only the lower triangle is read) + the packed
+    # couplings' symmetric-trail requirement: mirror the lower triangle up
+    a2 = jnp.tril(a2) + jnp.swapaxes(jnp.tril(a2, -1), -1, -2)
     np_ = max(_NB, ((n + _NB - 1) // _NB) * _NB)
     g = _group_size(np_, b)
     bp = ((b + g - 1) // g) * g
     eye = jnp.eye(np_, dtype=a.dtype)
     a_p = jnp.broadcast_to(eye, (bp, np_, np_)).at[:b, :n, :n].set(a2)
     L = _chol_only_call(a_p, interpret=config.pallas_interpret())
-    return L[:b, :n, :n].reshape(batch_shape + (n, n))
+    # in-place kernel leaves stale trail values above the diagonal
+    return jnp.tril(L[:b, :n, :n]).reshape(batch_shape + (n, n))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -119,9 +119,9 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
         out_loss = refs[n_in + 3 * S]          # [1, 1] last-iteration loss
         out_loss_sum = refs[n_in + 3 * S + 1]  # [1, 1] chunk loss sum
         scr = list(refs[n_in + 3 * S + 2:])
-        kn_scr, trail_scr, l_scr, wd_scr = scr[:4]
+        kn_scr, l_scr, wd_scr = scr[:3]
         if counted:
-            counts_scr, dma_sem = scr[4], scr[5]
+            counts_scr, dma_sem = scr[3], scr[4]
 
         x = x_ref[...]        # [M, D], rows task-major (row t*Np + n)
         y_nm = y_ref[...]     # [M, 1]
@@ -231,12 +231,12 @@ def _make_kernel(*, T, N, Tp, Np, D, F, mean_hidden, kernel_hidden,
                 # factor_panels); ragged tasks keep r = 0 on masked rows, so
                 # borrowing GLOBAL row N stays exact
                 border = (N, make_border_row(r_row, N))
-                factor_escalated(trail_scr, l_scr, wd_scr,
+                factor_escalated(l_scr, wd_scr,
                                  lambda: kn_scr[...], eye_real,
                                  border=border)
                 z_sub = extract_border_z(l_scr, wd_scr, N)        # [Tp,1,Np]
             else:
-                factor_escalated(trail_scr, l_scr, wd_scr,
+                factor_escalated(l_scr, wd_scr,
                                  lambda: kn_scr[...], eye_real)
                 if "no_zsubst" in _ABLATE_BIGN:  # profiling only
                     z_sub = r_row + 0.0 * l_scr[:, 0:1, :]
@@ -370,8 +370,7 @@ def fused_map_bign_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
                   + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
     scratch = [
         pltpu.VMEM((Tp, Np, Np), jnp.float32),  # kn (then W, post-factor)
-        pltpu.VMEM((Tp, Np, Np), jnp.float32),  # trail
-        pltpu.VMEM((Tp, Np, Np), jnp.float32),  # L
+        pltpu.VMEM((Tp, Np, Np), jnp.float32),  # L (in-place work)
         pltpu.VMEM((Tp, Np, _NB), jnp.float32),  # Wd
     ]
     if counted:

@@ -101,8 +101,7 @@ def bign_scratch_shapes(K, T, N, *, want_wql=False):
     _, gp_, np_ = svgd_bign_shapes(K, T, N)
     base = [
         pltpu.VMEM((_GC, np_, np_), jnp.float32),   # kn (then W)
-        pltpu.VMEM((_GC, np_, np_), jnp.float32),   # trail
-        pltpu.VMEM((_GC, np_, np_), jnp.float32),   # L
+        pltpu.VMEM((_GC, np_, np_), jnp.float32),   # L (in-place work)
         pltpu.VMEM((_GC, np_, _NB), jnp.float32),   # Wd
         pltpu.VMEM((gp_, np_), jnp.float32),        # Z
         pltpu.VMEM((gp_, np_), jnp.float32),        # R
@@ -149,17 +148,17 @@ def make_bign_score_section(*, K, T, N, Np, D, hidden, prior_ls,
         # [K, M] broadcasts of the task-shared rows, as [G, Np] views
         m_sys = jnp.broadcast_to(jnp.transpose(msk), (K, M)).reshape(G, Np)
         y_sys = jnp.broadcast_to(jnp.transpose(y_nm), (K, M)).reshape(G, Np)
-        for ref in scr[4:14 if want_wql else 13]:
+        for ref in scr[3:13 if want_wql else 12]:
             ref[...] = jnp.zeros(ref.shape, jnp.float32)
-        m_sc = scr[6]
+        m_sc = scr[5]
         m_sc[0:G, :] = m_sys
         return m_sys, y_sys, eye
 
     def score_fn(st, x, w_i, sumL, ones_m, pf, scr, inv):
-        kn_scr, trail_scr, l_scr, wd_scr = scr[:4]
+        kn_scr, l_scr, wd_scr = scr[:3]
         (z_sc, r_sc, m_sc, dz_acc, dmu_acc, w_sc, dv_sc, dn_sc,
-         dls_sc) = scr[4:13]
-        wql_sc = scr[13] if want_wql else None
+         dls_sc) = scr[3:12]
+        wql_sc = scr[12] if want_wql else None
         m_sys, y_sys, eye = inv
 
         # ---------------- forward (all K particles at once) ----------
@@ -210,12 +209,12 @@ def make_bign_score_section(*, K, T, N, Np, D, hidden, prior_ls,
                 # ragged tasks have mask rows n_task..N-1 zeroed, but r is
                 # zero there too, so borrowing GLOBAL row N stays exact.
                 border = (N, make_border_row(r_row, N))
-                factor_escalated(trail_scr, l_scr, wd_scr,
+                factor_escalated(l_scr, wd_scr,
                                  lambda: kn_scr[...], eye_real,
                                  border=border)
                 z_sub = extract_border_z(l_scr, wd_scr, N)   # [8, 1, Np]
             else:
-                factor_escalated(trail_scr, l_scr, wd_scr,
+                factor_escalated(l_scr, wd_scr,
                                  lambda: kn_scr[...], eye_real)
                 z_sub = zsubst_blocked(l_scr, wd_scr, r_row)  # [8, 1, Np]
             assemble_w_inv(l_scr, wd_scr, kn_scr)
@@ -314,7 +313,7 @@ def _make_kernel(*, K, T, N, Np, D, hidden, wps, bps, n_steps,
         out_v = refs[n_in + 2 * S:n_in + 3 * S]
         scr = list(refs[n_in + 3 * S:])
         if counted:
-            counts_scr, dma_sem = scr[13], scr[14]
+            counts_scr, dma_sem = scr[12], scr[13]
 
         x = x_ref[...]        # [M, D], rows task-major (row t*Np + n)
         y_nm = y_ref[...]     # [M, 1]

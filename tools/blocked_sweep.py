@@ -47,7 +47,7 @@ def time_scanned(make_body, K, reps=20, samples=3):
 
 
 def run_config(name, g_budget_mb, base, ablate, K, r, batch_max_g=None,
-               nb=None):
+               nb=None, pack_gp=None):
     bk._G_BUDGET = g_budget_mb * 2**20
     bk._BASE = base
     bk._ABLATE = frozenset(ablate)
@@ -55,6 +55,8 @@ def run_config(name, g_budget_mb, base, ablate, K, r, batch_max_g=None,
         bk._BATCH_MAX_G = batch_max_g
     if nb is not None:
         bk._NB = nb
+    if pack_gp is not None:
+        bk._PACK_GP = pack_gp
     jax.clear_caches()
 
     def fwd_body(Kc):
@@ -87,8 +89,9 @@ if __name__ == "__main__":
         gb, base, abl = parts[0], parts[1], parts[2]
         bmg = int(parts[3]) if len(parts) > 3 and parts[3] else None
         nb = int(parts[4]) if len(parts) > 4 and parts[4] else None
+        pgp = int(parts[5]) if len(parts) > 5 and parts[5] else None
         configs.append((nm, int(gb), int(base),
-                        [a for a in abl.split("+") if a], bmg, nb))
+                        [a for a in abl.split("+") if a], bmg, nb, pgp))
     if not configs:
         configs = [
             ("G32_base16", 8, 16, [], None, None),
@@ -102,8 +105,11 @@ if __name__ == "__main__":
         ]
     print(f"sweep at B={B} N={N} (timing: min of 3 samples x 10 reps)",
           flush=True)
-    for nm, gb, base, abl, bmg, nb in configs:
-        run_config(nm, gb, base, abl, K, r, batch_max_g=bmg, nb=nb)
+    for cfg in configs:
+        nm, gb, base, abl, bmg, nb = cfg[:6]
+        pgp = cfg[6] if len(cfg) > 6 else None
+        run_config(nm, gb, base, abl, K, r, batch_max_g=bmg, nb=nb,
+                   pack_gp=pgp)
 
 
 def run_vmem_config(name, g_budget_mb, vmem_mb, K, r):
