@@ -39,7 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from meta_learning_pacoh_tpu import config
 
-_NB = 64  # panel size (VPU-loop cost scales with NB^2 per step; MXU matmuls amortize)
+# Panel size. 32 measured best at the Swissfel anchor shape (B=200/N=200,
+# v5e, round-5 in-process sweep): fwd 2687 / value+grad 3218 us at NB=32
+# vs 2974 / 3458 at NB=64 — N pads to 224 instead of 256 (23% fewer
+# elements) and the diag-panel recursion loses its s=64 coupling level.
+# Single-sweep 32-wide leaves (_BASE=32) regress ~25%; the 16-leaf
+# recursion stays.
+_NB = int(_os.environ.get("PACOH_TPU_NB", "32"))
 BLOCKED_MIN_N = 49  # below: the lane-parallel kernel wins
 BLOCKED_MAX_N = 512  # above: VMEM residency of [G, Np, Np] breaks down
 

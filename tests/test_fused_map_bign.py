@@ -66,10 +66,15 @@ def ragged_model():
 
 
 def test_shapes_and_gate():
+    from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import _NB
+
+    def np_(n):  # points pad to the panel size (_NB, env-tunable)
+        return max(_NB, -(-n // _NB) * _NB)
+
     # tasks ride the pure batch dim: NO padding (T=5 padded to 8 wasted
-    # 37% of every batched pass); points pad to the 64 panel size
-    assert bign_shapes(3, 12) == (3, 64)
-    assert bign_shapes(5, 200) == (5, 256)
+    # 37% of every batched pass); points pad to the panel size
+    assert bign_shapes(3, 12) == (3, np_(12))
+    assert bign_shapes(5, 200) == (5, np_(200))
     assert bign_fits(5, 200)
     assert bign_fits(16, 512)
     assert not bign_fits(64, 512)  # VMEM gate

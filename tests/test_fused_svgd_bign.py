@@ -67,8 +67,13 @@ def test_shapes_and_gate():
     def gp(g):  # Gp rounds up to the chunk width (_GC, env-tunable)
         return -(-g // _GC) * _GC
 
-    assert svgd_bign_shapes(4, 3, 12) == (12, gp(12), 64)
-    assert svgd_bign_shapes(10, 5, 200) == (50, gp(50), 256)
+    from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import _NB
+
+    def np_(n):  # points pad to the panel size (_NB, env-tunable)
+        return max(_NB, -(-n // _NB) * _NB)
+
+    assert svgd_bign_shapes(4, 3, 12) == (12, gp(12), np_(12))
+    assert svgd_bign_shapes(10, 5, 200) == (50, gp(50), np_(200))
     assert svgd_bign_fits(10, 5, 200)
     assert not svgd_bign_fits(10, 5, 300)   # Np > 256
     assert not svgd_bign_fits(10, 5, 5)     # entry-tile window owns N <= 8
