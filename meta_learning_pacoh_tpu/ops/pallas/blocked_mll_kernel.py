@@ -335,18 +335,19 @@ def _diag3(M):
 def _coupling_batched(work_ref, wd_ref, po):
     """Panel couplings as G-batched dots, IN-PLACE in the work matrix
     (classic in-place blocked Cholesky: X overwrites Bp, SYRK updates the
-    trailing square)."""
-    Wd = wd_ref[:, po:po + _NB, :]
-    Bp = work_ref[:, po + _NB:, po:po + _NB]  # [G, R, NB]
+    trailing square). Panel size = wd_ref.shape[-1] (caller-chosen)."""
+    nb = wd_ref.shape[-1]
+    Wd = wd_ref[:, po:po + nb, :]
+    Bp = work_ref[:, po + nb:, po:po + nb]  # [G, R, NB]
     if "no_panel_solve" in _ABLATE:  # profiling only
         X = Bp
     else:
         X = _bmm_nt(Bp, Wd)  # X = Bp Ld^{-T}
-    work_ref[:, po + _NB:, po:po + _NB] = X
+    work_ref[:, po + nb:, po:po + nb] = X
     if "no_syrk" in _ABLATE:  # profiling only
         return
-    work_ref[:, po + _NB:, po + _NB:] = (
-        work_ref[:, po + _NB:, po + _NB:] - _bmm_nt(X, X)
+    work_ref[:, po + nb:, po + nb:] = (
+        work_ref[:, po + nb:, po + nb:] - _bmm_nt(X, X)
     )
 
 
@@ -370,32 +371,33 @@ def _coupling_packed(work_ref, wd_ref, bd_ref, bdw_ref, gp, po):
     (zeroed once per factorization pass by the caller)."""
     g = work_ref.shape[0]
     np_ = work_ref.shape[-1]
-    r = np_ - po - _NB
-    r_max = np_ - _NB
+    nb = wd_ref.shape[-1]
+    r = np_ - po - nb
+    r_max = np_ - nb
     for c in range(g // gp):
         g0 = c * gp
         for q in range(gp):
-            bdw_ref[q * _NB:(q + 1) * _NB, q * _NB:(q + 1) * _NB] = (
-                wd_ref[g0 + q, po:po + _NB, :])
-            bd_ref[q * r_max:q * r_max + r, q * _NB:(q + 1) * _NB] = (
-                work_ref[g0 + q, po + _NB:, po:po + _NB])
-        bpt = work_ref[g0:g0 + gp, po:po + _NB, po + _NB:].reshape(
-            gp * _NB, r)
+            bdw_ref[q * nb:(q + 1) * nb, q * nb:(q + 1) * nb] = (
+                wd_ref[g0 + q, po:po + nb, :])
+            bd_ref[q * r_max:q * r_max + r, q * nb:(q + 1) * nb] = (
+                work_ref[g0 + q, po + nb:, po:po + nb])
+        bpt = work_ref[g0:g0 + gp, po:po + nb, po + nb:].reshape(
+            gp * nb, r)
         xt = jnp.dot(bdw_ref[...], bpt,
                      preferred_element_type=jnp.float32)      # [gp*NB, r]
         wdt = jnp.swapaxes(
-            wd_ref[g0:g0 + gp, po:po + _NB, :], 1, 2).reshape(gp * _NB, _NB)
+            wd_ref[g0:g0 + gp, po:po + nb, :], 1, 2).reshape(gp * nb, nb)
         x_stack = jnp.dot(bd_ref[...], wdt,
                           preferred_element_type=jnp.float32)  # [gp*Rm, NB]
-        x3 = x_stack.reshape(gp, r_max, _NB)[:, :r, :]
-        work_ref[g0:g0 + gp, po + _NB:, po:po + _NB] = x3
+        x3 = x_stack.reshape(gp, r_max, nb)[:, :r, :]
+        work_ref[g0:g0 + gp, po + nb:, po:po + nb] = x3
         for q in range(gp):
-            bd_ref[q * r_max:q * r_max + r, q * _NB:(q + 1) * _NB] = x3[q]
+            bd_ref[q * r_max:q * r_max + r, q * nb:(q + 1) * nb] = x3[q]
         u_stack = jnp.dot(bd_ref[...], xt,
                           preferred_element_type=jnp.float32)  # [gp*Rm, r]
         u3 = u_stack.reshape(gp, r_max, r)[:, :r, :]
-        work_ref[g0:g0 + gp, po + _NB:, po + _NB:] = (
-            work_ref[g0:g0 + gp, po + _NB:, po + _NB:] - u3)
+        work_ref[g0:g0 + gp, po + nb:, po + nb:] = (
+            work_ref[g0:g0 + gp, po + nb:, po + nb:] - u3)
 
 
 def _pack_gp(g, n_panels):
@@ -418,13 +420,14 @@ def _panel_loop(work_ref, wd_ref, packed):
     size G. packed is (bd_ref, bdw_ref, gp) for wide-MXU couplings or
     None for batched dots."""
     np_ = work_ref.shape[-1]
-    n_panels = np_ // _NB
+    nb = wd_ref.shape[-1]
+    n_panels = np_ // nb
     for p in range(n_panels):
-        po = p * _NB
+        po = p * nb
         Lp, Wdp = _factor_diag_panel(
-            work_ref[:, po:po + _NB, po:po + _NB])
-        work_ref[:, po:po + _NB, po:po + _NB] = Lp
-        wd_ref[:, po:po + _NB, :] = Wdp
+            work_ref[:, po:po + nb, po:po + nb])
+        work_ref[:, po:po + nb, po:po + nb] = Lp
+        wd_ref[:, po:po + nb, :] = Wdp
         if p < n_panels - 1:
             if packed is None:
                 _coupling_batched(work_ref, wd_ref, po)
@@ -434,16 +437,16 @@ def _panel_loop(work_ref, wd_ref, packed):
                                  gp, po)
 
 
-def _with_packed_scratch(g, np_, body):
+def _with_packed_scratch(g, np_, nb, body):
     """Allocate the packed-coupling BD scratch (if enabled for this G) and
     call body(packed) with packed = (bd_ref, bdw_ref, gp) or None. The
     off-block regions are zeroed once here — block regions are fully
     overwritten per chunk and stale rows above the live panel R are never
     read (see _coupling_packed)."""
-    gp = _pack_gp(g, np_ // _NB)
+    gp = _pack_gp(g, np_ // nb)
     if not gp:
         return body(None)
-    r_max = np_ - _NB
+    r_max = np_ - nb
 
     def scoped(bd_ref, bdw_ref):
         bd_ref[...] = jnp.zeros_like(bd_ref)
@@ -451,8 +454,8 @@ def _with_packed_scratch(g, np_, body):
         return body((bd_ref, bdw_ref, gp))
 
     return pl.run_scoped(scoped,
-                         pltpu.VMEM((gp * r_max, gp * _NB), jnp.float32),
-                         pltpu.VMEM((gp * _NB, gp * _NB), jnp.float32))
+                         pltpu.VMEM((gp * r_max, gp * nb), jnp.float32),
+                         pltpu.VMEM((gp * nb, gp * nb), jnp.float32))
 
 
 def factor_panels(work_ref, wd_ref, read_kn, eye_real, jit_g,
@@ -480,11 +483,12 @@ def factor_panels(work_ref, wd_ref, read_kn, eye_real, jit_g,
     whose pl.when escalation branches must not re-allocate scopes."""
     np_ = work_ref.shape[-1]
     g = work_ref.shape[0]
+    nb = wd_ref.shape[-1]
     work_ref[...] = read_kn() + jit_g * eye_real
     if border is not None:
         j_b, row_b = border
         work_ref[:, j_b:j_b + 1, :] = row_b
-        packing = (bool(_pack_gp(g, np_ // _NB)) if packed == "alloc"
+        packing = (bool(_pack_gp(g, np_ // nb)) if packed == "alloc"
                    else packed is not None)
         if packing:
             # column twin keeps the trail exactly symmetric — ONLY the
@@ -494,7 +498,7 @@ def factor_panels(work_ref, wd_ref, read_kn, eye_real, jit_g,
             work_ref[:, :, j_b:j_b + 1] = jnp.swapaxes(row_b, 1, 2)
     if packed == "alloc":
         _with_packed_scratch(
-            g, np_,
+            g, np_, nb,
             lambda pk: _panel_loop(work_ref, wd_ref, pk))
     else:
         _panel_loop(work_ref, wd_ref, packed)
@@ -515,6 +519,7 @@ def factor_escalated(work_ref, wd_ref, read_kn, eye_real, border=None):
 
     g = work_ref.shape[0]
     np_ = work_ref.shape[-1]
+    nb = wd_ref.shape[-1]
     zero_j = jnp.zeros((g, 1, 1), jnp.float32)
 
     def escalate(packed):
@@ -542,7 +547,7 @@ def factor_escalated(work_ref, wd_ref, read_kn, eye_real, border=None):
 
     # BD scratch allocated ONCE out here: the pl.when escalation branches
     # must not open run_scoped regions of their own
-    _with_packed_scratch(g, np_, escalate)
+    _with_packed_scratch(g, np_, nb, escalate)
 
 
 _BORDER_KAPPA = 1e8  # corner constant factor: c = kappa * (|r|^2 + 1).
@@ -562,8 +567,9 @@ def extract_border_z(l_ref, wd_ref, j_b):
     e_j = jnp.where(cols == j_b, 1.0, 0.0)
     l_ref[:, j_b:j_b + 1, :] = jnp.broadcast_to(
         e_j, l_ref[:, j_b:j_b + 1, :].shape)
-    j0 = j_b % _NB
-    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _NB), 2)
+    nb = wd_ref.shape[-1]
+    j0 = j_b % nb
+    cols_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nb), 2)
     e_j0 = jnp.where(cols_w == j0, 1.0, 0.0)
     wd_ref[:, j_b:j_b + 1, :] = jnp.broadcast_to(
         e_j0, wd_ref[:, j_b:j_b + 1, :].shape)
@@ -583,15 +589,16 @@ def zsubst_blocked(l_ref, wd_ref, r):
     """Blocked forward substitution z = L^{-1} r via the stored Wd blocks.
     r: [G, 1, Np] value; returns z [G, 1, Np]."""
     np_ = l_ref.shape[-1]
-    n_panels = np_ // _NB
+    nb = wd_ref.shape[-1]
+    n_panels = np_ // nb
     zs = []
     for p in range(n_panels):
-        po = p * _NB
-        acc = r[:, :, po:po + _NB]  # [G, 1, NB]
+        po = p * nb
+        acc = r[:, :, po:po + nb]  # [G, 1, NB]
         for k, z_k in enumerate(zs):
-            Lpk = l_ref[:, po:po + _NB, k * _NB:(k + 1) * _NB]
+            Lpk = l_ref[:, po:po + nb, k * nb:(k + 1) * nb]
             acc = acc - _bmm_nt(z_k, Lpk)  # z_k L_pk^T
-        zs.append(_bmm_nt(acc, wd_ref[:, po:po + _NB, :]))  # acc Wd_p^T
+        zs.append(_bmm_nt(acc, wd_ref[:, po:po + nb, :]))  # acc Wd_p^T
     return jnp.concatenate(zs, axis=2)  # [G, 1, Np]
 
 
@@ -611,19 +618,20 @@ def assemble_w_inv(l_ref, wd_ref, w_ref):
     system (round-5: VERDICT next #3). The k < j blocks of W[:i, :i] are
     zero, so the wide contraction computes the same sum_{k=j..i-1}."""
     np_ = l_ref.shape[-1]
-    n_panels = np_ // _NB
+    nb = wd_ref.shape[-1]
+    n_panels = np_ // nb
     w_ref[...] = jnp.zeros_like(w_ref)
     for i in range(n_panels):
-        io = i * _NB
-        Wd_i = wd_ref[:, io:io + _NB, :]
-        w_ref[:, io:io + _NB, io:io + _NB] = Wd_i
+        io = i * nb
+        Wd_i = wd_ref[:, io:io + nb, :]
+        w_ref[:, io:io + nb, io:io + nb] = Wd_i
         if "no_offdiag_w" in _ABLATE:  # profiling only
             continue
         if i > 0:
-            L_row = l_ref[:, io:io + _NB, 0:io]   # [G, NB, i*NB]
+            L_row = l_ref[:, io:io + nb, 0:io]   # [G, NB, i*NB]
             W_tl = w_ref[:, 0:io, 0:io]           # [G, i*NB, i*NB]
             M1 = _bmm(L_row, W_tl)                # [G, NB, i*NB]
-            w_ref[:, io:io + _NB, 0:io] = -_bmm(Wd_i, M1)
+            w_ref[:, io:io + nb, 0:io] = -_bmm(Wd_i, M1)
 
 
 def _mll_fwd_kernel(n_real, kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref,
@@ -778,7 +786,8 @@ def _chol_only_kernel(kn_ref, l_ref, wd_ref):
     g = kn_ref.shape[0]
     l_ref[...] = kn_ref[...]
     _with_packed_scratch(
-        g, np_, lambda pk: _panel_loop(l_ref, wd_ref, pk))
+        g, np_, wd_ref.shape[-1],
+        lambda pk: _panel_loop(l_ref, wd_ref, pk))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

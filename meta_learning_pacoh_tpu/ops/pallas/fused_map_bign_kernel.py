@@ -40,7 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
-    _NB,
     _bmm,
     _bmm_nt,
     _diag3,
@@ -55,6 +54,17 @@ from meta_learning_pacoh_tpu.ops.pallas.fused_map_kernel import (
     FusedMAPTrainer,
     state_names,
 )
+
+# Pinned panel size for the mega-kernels, independent of the
+# standalone kernel's sweepable blocked_mll_kernel._NB: the
+# factorization helpers infer the panel size from the Wd scratch's
+# last dim. 64 measured best here — NB=32 pads N=200 to 224, a
+# ragged 1.75-lane-tile dim that slows the mega-kernel's big MXU
+# sections ~45% (round-5 faceoff) and breaks a Mosaic shape cast
+# in the SVGD section, while the standalone kernel (VPU-latency
+# bound) prefers 32.
+_NBF = 64
+
 from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
     _mm,
     _mm_nt,
@@ -81,7 +91,7 @@ def bign_shapes(T, N):
     [Tp, Np, Np] working set (tiling only constrains the trailing two
     dims), so rounding T=5 up to 8 would waste 37% of every batched
     matmul, factorization and elementwise pass."""
-    np_ = max(_NB, -(-N // _NB) * _NB)
+    np_ = max(_NBF, -(-N // _NBF) * _NBF)
     return max(1, T), np_
 
 
@@ -371,7 +381,7 @@ def fused_map_bign_train_packed(packed, m_packed, v_packed, x, y_nm, mask_nm,
     scratch = [
         pltpu.VMEM((Tp, Np, Np), jnp.float32),  # kn (then W, post-factor)
         pltpu.VMEM((Tp, Np, Np), jnp.float32),  # L (in-place work)
-        pltpu.VMEM((Tp, Np, _NB), jnp.float32),  # Wd
+        pltpu.VMEM((Tp, Np, _NBF), jnp.float32),  # Wd
     ]
     if counted:
         # count pages keep a sublane-8-aligned row count (the DMA'd page is

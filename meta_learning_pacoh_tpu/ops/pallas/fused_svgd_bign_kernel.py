@@ -47,7 +47,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
-    _NB,
     _bmm,
     _diag3,
     assemble_w_inv,
@@ -57,6 +56,17 @@ from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import (
     make_border_row,
     zsubst_blocked,
 )
+
+# Pinned panel size for the mega-kernels, independent of the
+# standalone kernel's sweepable blocked_mll_kernel._NB: the
+# factorization helpers infer the panel size from the Wd scratch's
+# last dim. 64 measured best here — NB=32 pads N=200 to 224, a
+# ragged 1.75-lane-tile dim that slows the mega-kernel's big MXU
+# sections ~45% (round-5 faceoff) and breaks a Mosaic shape cast
+# in the SVGD section, while the standalone kernel (VPU-latency
+# bound) prefers 32.
+_NBF = 64
+
 from meta_learning_pacoh_tpu.ops.pallas.fused_train_kernel import (
     FusedSVGDTrainer,
     _block_sum_mat,
@@ -80,7 +90,7 @@ _GC = int(_os.environ.get("PACOH_TPU_BIGN_GC", "16"))
 
 def svgd_bign_shapes(K, T, N):
     """(G, Gp, Np): system count K*T, its chunk-padded count, padded N."""
-    np_ = max(_NB, -(-N // _NB) * _NB)
+    np_ = max(_NBF, -(-N // _NBF) * _NBF)
     g = K * T
     return g, -(-g // _GC) * _GC, np_
 
@@ -102,7 +112,7 @@ def bign_scratch_shapes(K, T, N, *, want_wql=False):
     base = [
         pltpu.VMEM((_GC, np_, np_), jnp.float32),   # kn (then W)
         pltpu.VMEM((_GC, np_, np_), jnp.float32),   # L (in-place work)
-        pltpu.VMEM((_GC, np_, _NB), jnp.float32),   # Wd
+        pltpu.VMEM((_GC, np_, _NBF), jnp.float32),   # Wd
         pltpu.VMEM((gp_, np_), jnp.float32),        # Z
         pltpu.VMEM((gp_, np_), jnp.float32),        # R
         pltpu.VMEM((gp_, np_), jnp.float32),        # mask

@@ -66,10 +66,10 @@ def ragged_model():
 
 
 def test_shapes_and_gate():
-    from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import _NB
+    from meta_learning_pacoh_tpu.ops.pallas.fused_map_bign_kernel import _NBF
 
-    def np_(n):  # points pad to the panel size (_NB, env-tunable)
-        return max(_NB, -(-n // _NB) * _NB)
+    def np_(n):  # points pad to the mega-kernel's pinned panel size
+        return max(_NBF, -(-n // _NBF) * _NBF)
 
     # tasks ride the pure batch dim: NO padding (T=5 padded to 8 wasted
     # 37% of every batched pass); points pad to the panel size

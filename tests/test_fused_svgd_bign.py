@@ -67,10 +67,10 @@ def test_shapes_and_gate():
     def gp(g):  # Gp rounds up to the chunk width (_GC, env-tunable)
         return -(-g // _GC) * _GC
 
-    from meta_learning_pacoh_tpu.ops.pallas.blocked_mll_kernel import _NB
+    from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import _NBF
 
-    def np_(n):  # points pad to the panel size (_NB, env-tunable)
-        return max(_NB, -(-n // _NB) * _NB)
+    def np_(n):  # points pad to the mega-kernel's pinned panel size
+        return max(_NBF, -(-n // _NBF) * _NBF)
 
     assert svgd_bign_shapes(4, 3, 12) == (12, gp(12), np_(12))
     assert svgd_bign_shapes(10, 5, 200) == (50, gp(50), np_(200))

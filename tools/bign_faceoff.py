@@ -13,7 +13,7 @@ import numpy as np
 import jax
 
 
-def build(algo, n_iter=500):
+def build(algo, n_iter=500, n_samples=200):
     from meta_learning_pacoh_tpu import (
         GPRegressionMetaLearned,
         GPRegressionMetaLearnedSVGD,
@@ -22,7 +22,7 @@ def build(algo, n_iter=500):
     from meta_learning_pacoh_tpu.datasets import SinusoidDataset
 
     env = SinusoidDataset(random_state=np.random.RandomState(5))
-    train = env.generate_meta_train_data(n_tasks=5, n_samples=200)
+    train = env.generate_meta_train_data(n_tasks=5, n_samples=n_samples)
     cls = {"map": GPRegressionMetaLearned,
            "svgd": GPRegressionMetaLearnedSVGD,
            "vi": GPRegressionMetaLearnedVI}[algo]
@@ -51,17 +51,21 @@ def time_fit(m, algo, n_iter=500):
 if __name__ == "__main__":
     import sys
 
-    algos = sys.argv[1:] or ["map", "svgd", "vi"]
+    args = sys.argv[1:]
+    ns = [int(a.split("=")[1]) for a in args if a.startswith("n=")] or [200]
+    algos = [a for a in args if not a.startswith("n=")] or [
+        "map", "svgd", "vi"]
     print("devices:", jax.devices(), flush=True)
-    for algo in algos:
-        m = build(algo)
-        assert m._fused_path_ok(), algo
-        us_f = time_fit(m, algo)
-        os.environ["PACOH_TPU_DISABLE_FUSED"] = "1"
-        mx = build(algo)
-        assert not mx._fused_path_ok()
-        us_x = time_fit(mx, algo)
-        del os.environ["PACOH_TPU_DISABLE_FUSED"]
-        print(f"{algo:5s}  fused {us_f:8.1f} us/iter   "
-              f"xla+blocked {us_x:8.1f} us/iter   ratio {us_x / us_f:.2f}x",
-              flush=True)
+    for n_samples in ns:
+        for algo in algos:
+            m = build(algo, n_samples=n_samples)
+            assert m._fused_path_ok(), (algo, n_samples)
+            us_f = time_fit(m, algo)
+            os.environ["PACOH_TPU_DISABLE_FUSED"] = "1"
+            mx = build(algo, n_samples=n_samples)
+            assert not mx._fused_path_ok()
+            us_x = time_fit(mx, algo)
+            del os.environ["PACOH_TPU_DISABLE_FUSED"]
+            print(f"{algo:5s} N={n_samples:4d}  fused {us_f:8.1f} us/iter   "
+                  f"xla+blocked {us_x:8.1f} us/iter   "
+                  f"ratio {us_x / us_f:.2f}x", flush=True)
