@@ -153,8 +153,11 @@ def main():
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
     algos["map_t5_n200_xla"] = lambda: GPRegressionMetaLearned(
         big_train, num_iter_fit=500, random_seed=1, task_batch_size=-1)
-    # ... and the flagship SVGD on the same shape (fused big-N SVGD
-    # mega-kernel, ops/pallas/fused_svgd_bign_kernel.py)
+    # ... and the flagship SVGD on the same shape. Round-5 dispatch
+    # policy: the big-N SVGD/VI mega-kernels measured SLOWER than the
+    # scan-fused XLA step with blocked Pallas linalg (0.63x-0.99x,
+    # fused_svgd_bign_kernel.svgd_bign_wins), so the default path here IS
+    # the XLA+blocked one and the _xla twin should read ~equal
     algos["svgd_t5_n200"] = lambda: GPRegressionMetaLearnedSVGD(
         big_train, num_iter_fit=500, num_particles=10, random_seed=1,
         prior_factor=0.01, task_batch_size=-1)

@@ -244,10 +244,11 @@ class GPRegressionMetaLearnedSVGD(RegressionModelMetaLearned):
     def _bign_fits(self):
         from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import (
             svgd_bign_fits,
+            svgd_bign_wins,
         )
 
-        return svgd_bign_fits(self.num_particles, self.X.shape[0],
-                              self.X.shape[1])
+        return svgd_bign_wins() and svgd_bign_fits(
+            self.num_particles, self.X.shape[0], self.X.shape[1])
 
     def _fused_run_chunk(self, chunk):
         from meta_learning_pacoh_tpu import config

@@ -239,12 +239,15 @@ class GPRegressionMetaLearnedVI(RegressionModelMetaLearned):
         )
 
     def _bign_fits(self):
+        from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import (
+            svgd_bign_wins,
+        )
         from meta_learning_pacoh_tpu.ops.pallas.fused_vi_bign_kernel import (
             vi_bign_fits,
         )
 
-        return vi_bign_fits(self.svi_batch_size, self.X.shape[0],
-                            self.X.shape[1])
+        return svgd_bign_wins() and vi_bign_fits(
+            self.svi_batch_size, self.X.shape[0], self.X.shape[1])
 
     def _fused_run_chunk(self, chunk):
         from meta_learning_pacoh_tpu import config

@@ -513,7 +513,14 @@ def factor_escalated(work_ref, wd_ref, read_kn, eye_real, border=None):
     work_ref is safe across passes).
     border: see factor_panels (replanted on every escalation pass)."""
     def ok_per_system():
-        d = _diag3(work_ref[...])  # [G, Np]
+        # checking the LAST diag panel suffices: a failed pivot in any
+        # earlier panel makes its L column NaN (rsqrt of a non-positive
+        # pivot), the SYRK spreads the NaN across the whole trailing
+        # square, and the final diag panel inherits it. Reads [G, NB, NB]
+        # instead of the full [G, Np, Np] masked diag.
+        nb_ = wd_ref.shape[-1]
+        np2 = work_ref.shape[-1]
+        d = _diag3(work_ref[:, np2 - nb_:, np2 - nb_:])  # [G, NB]
         fin = jnp.isfinite(d) & (d > 0.0)
         return jnp.min(fin.astype(jnp.float32), axis=1, keepdims=True)[..., None]
 
@@ -608,6 +615,20 @@ def logdet_blocked(l_ref):
     return 2.0 * jnp.sum(jnp.log(d), axis=1, keepdims=True)[..., None]
 
 
+def logdet_from_wd(wd_ref):
+    """logdet = -2 sum log diag Wd as [G, 1, 1] (diag Ld^{-1} = 1/diag Ld
+    per panel). Reads the [G, Np, NB] Wd residual instead of the full
+    [G, Np, Np] L — NB/Np of the masked-diag traffic. Last-ulp different
+    from logdet_blocked (fp reciprocal), which the 1e-5-level parity
+    tolerances absorb; the fused kernels keep the L-based version so their
+    trajectories stay bit-matched to the XLA step."""
+    g, np_, nb = wd_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, np_, nb), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, np_, nb), 2)
+    d = jnp.sum(jnp.where(cols == rows % nb, wd_ref[...], 0.0), axis=2)
+    return -2.0 * jnp.sum(jnp.log(d), axis=1, keepdims=True)[..., None]
+
+
 def assemble_w_inv(l_ref, wd_ref, w_ref):
     """W = L^{-1} blockwise into w_ref: W[i][i] = Wd_i (the forward's stored
     diag-block inverses — no scalar substitution loops re-run here);
@@ -663,7 +684,7 @@ def _mll_fwd_kernel(n_real, kn_ref, r_ref, quad_ref, logdet_ref, l_ref, z_ref,
             z_ref[...] = z
 
     quad_ref[...] = jnp.sum(z * z, axis=2, keepdims=True)  # [G, 1, 1]
-    logdet_ref[...] = logdet_blocked(l_ref)
+    logdet_ref[...] = logdet_from_wd(wd_ref)
 
 
 def _mll_bwd_kernel(l_ref, wd_ref, z_ref, gq_ref, gl_ref, dkn_ref, dr_ref,

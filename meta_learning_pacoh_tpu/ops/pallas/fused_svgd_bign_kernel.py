@@ -96,11 +96,35 @@ def svgd_bign_shapes(K, T, N):
 
 
 def svgd_bign_fits(K, T, N):
-    """VMEM gate: the chunk working set is ~10 live [8, Np, Np] f32 tensors
-    (4 scratch + factorization/backward values), so Np caps at 256; the
-    [Gp, Np] accumulators are negligible."""
+    """Feasibility gate. VMEM: the chunk working set is ~10 live
+    [8, Np, Np] f32 tensors (scratch + factorization/backward values), so
+    Np caps at 256; the [Gp, Np] accumulators are negligible. Np floor 128
+    on real TPUs: the [K, M] -> [G, Np] system views are lane-dim splits
+    Mosaic only lowers for full-lane-tile (>=128) targets — at Np=64 the
+    kernel fails to compile on hardware (round-5 N=64 faceoff); interpret
+    mode has no lane tiles, so CPU tests can still exercise small shapes.
+
+    Feasible is not the same as PROFITABLE — see svgd_bign_wins for the
+    measured dispatch policy the learners consult."""
+    from meta_learning_pacoh_tpu import config
+
     _, gp_, np_ = svgd_bign_shapes(K, T, N)
-    return 9 <= N and np_ <= 256 and gp_ * np_ * 4 * 8 <= 2**24
+    np_ok = np_ >= 128 or config.pallas_interpret()
+    return (9 <= N and np_ok and np_ <= 256
+            and gp_ * np_ * 4 * 8 <= 2**24)
+
+
+def svgd_bign_wins():
+    """Measured dispatch policy (v5e, round-5 in-process faceoffs,
+    tools/bign_faceoff.py, T=5, K/S=10): the SVGD/VI big-N mega-kernels
+    LOSE to the scan-fused XLA step with blocked Pallas linalg across
+    their whole window — svgd 0.63x at N=128 / 0.98x at N=200, vi 0.71x /
+    0.99x (the per-iteration _GC=16-chunked serial factorization loop
+    never amortizes; _GC=32 exceeds VMEM). MAP's big-N mega-kernel WINS
+    (1.10x / 1.26x) and is unaffected by this policy. Default: off;
+    PACOH_TPU_FORCE_BIGN_FUSED=1 forces the fused path (used by the
+    interpret-mode parity tests and for re-measuring on new hardware)."""
+    return _os.environ.get("PACOH_TPU_FORCE_BIGN_FUSED", "") == "1"
 
 
 # ------------------------------------------------- shared big-N score section

@@ -84,6 +84,8 @@ def test_svgd_fused_counted_matches_xla_trajectory(monkeypatch):
     mt = _tasks()
     monkeypatch.setenv("PACOH_TPU_SVGD_WEIGHTED", "1")
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     m_f = _svgd(mt)
     assert m_f._fused_path_ok(), "counted configs must hit the fused window"
     m_f.meta_fit(verbose=False, log_period=20, n_iter=20)
@@ -108,6 +110,8 @@ def test_vi_fused_counted_matches_xla_trajectory(monkeypatch):
     mt = _tasks()
     monkeypatch.setenv("PACOH_TPU_VI_WEIGHTED", "1")
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     m_f = _vi(mt)
     assert m_f._fused_path_ok(), "counted configs must hit the fused window"
     m_f.meta_fit(verbose=False, log_period=20, n_iter=20)
@@ -129,6 +133,8 @@ def test_counted_gate_requires_weighted_and_uniform(monkeypatch):
     even under the weighted estimator (the kernel's pre-factor/mll_const
     are per-launch constants only for uniform sizes)."""
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     monkeypatch.setenv("PACOH_TPU_SVGD_WEIGHTED", "0")
     assert not _svgd(_tasks())._fused_path_ok()
     monkeypatch.setenv("PACOH_TPU_SVGD_WEIGHTED", "1")

@@ -75,8 +75,18 @@ def test_shapes_and_gate():
     assert svgd_bign_shapes(4, 3, 12) == (12, gp(12), np_(12))
     assert svgd_bign_shapes(10, 5, 200) == (50, gp(50), np_(200))
     assert svgd_bign_fits(10, 5, 200)
+    assert svgd_bign_fits(10, 5, 100)       # Np = 128 floor
     assert not svgd_bign_fits(10, 5, 300)   # Np > 256
     assert not svgd_bign_fits(10, 5, 5)     # entry-tile window owns N <= 8
+    # Np = 64 shapes compile only in interpret mode (Mosaic lane-split
+    # floor); on-CPU test runs report them feasible, on-TPU they are not
+    from meta_learning_pacoh_tpu import config
+    assert svgd_bign_fits(10, 5, 64) == config.pallas_interpret()
+    # measured dispatch policy: big-N fused SVGD/VI off unless forced
+    from meta_learning_pacoh_tpu.ops.pallas.fused_svgd_bign_kernel import (
+        svgd_bign_wins,
+    )
+    assert not svgd_bign_wins()
 
 
 def _particles(m):
@@ -133,6 +143,8 @@ def test_learner_fused_matches_xla_and_chunking(monkeypatch):
     monkeypatch.delenv("PACOH_TPU_DISABLE_PALLAS")
 
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     m_fused = _build(seed=31, n_iter=n_iter)
     assert m_fused._fused_path_ok(), "N=12 must hit the big-N fused window"
     m_fused.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
@@ -164,6 +176,8 @@ def test_bign_fused_counted_matches_xla_trajectory(monkeypatch):
     mt = _make_tasks(n_tasks=4)
     monkeypatch.setenv("PACOH_TPU_SVGD_WEIGHTED", "1")
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     m_f = _build(mt, seed=7, n_iter=6, task_batch_size=2)
     assert m_f._fused_path_ok()
     assert m_f._weight_by_counts()

@@ -129,6 +129,8 @@ def test_learner_fused_matches_xla_and_chunking(monkeypatch):
     monkeypatch.delenv("PACOH_TPU_DISABLE_PALLAS")
 
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     m_fused = _build(seed=31, n_iter=n_iter)
     assert m_fused._fused_path_ok(), "N=12 must hit the big-N fused window"
     m_fused.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
@@ -158,6 +160,8 @@ def test_bign_vi_counted_matches_xla_trajectory(monkeypatch):
     count-weighted step on the SAME fold_in/randint draws."""
     monkeypatch.setenv("PACOH_TPU_VI_WEIGHTED", "1")
     monkeypatch.setenv("PACOH_TPU_FORCE_PALLAS", "1")
+    # big-N SVGD/VI fused dispatch is measured-off by default (svgd_bign_wins)
+    monkeypatch.setenv("PACOH_TPU_FORCE_BIGN_FUSED", "1")
     m_f = _build(seed=7, n_iter=6, task_batch_size=2, n_tasks=4)
     assert m_f._fused_path_ok()
     assert m_f._weight_by_counts()
