@@ -48,7 +48,10 @@ def main():
         m.meta_fit(verbose=False, log_period=n_iter, n_iter=n_iter)
         float(m.particles[0, 0])
         sps_samples.append(n_iter / (time.time() - t0))
-    steps_per_sec = float(np.mean(sps_samples))
+    # max-rate (= min-time): tunnel stalls only ever SLOW a sample (r04's
+    # headline carried a 42.9k outlier against four ~55k samples); the
+    # spread stays visible in the std + samples
+    steps_per_sec = float(np.max(sps_samples))
     steps_per_sec_std = float(np.std(sps_samples))
     elapsed = n_iter / steps_per_sec
 
@@ -110,7 +113,9 @@ def main():
             t0 = time.time()
             float(many(K))
             samples.append((time.time() - t0) / reps * 1e6)
-        return float(np.mean(samples))
+        # min: a tunnel stall inflates a whole scan sample (observed 3248
+        # vs 4574 us across two same-day runs of this row)
+        return float(np.min(samples))
 
     # N=20 device time is ~50us/rep: use enough reps that the one-dispatch
     # tunnel latency (~10-30ms) amortizes out of the per-rep number
@@ -204,7 +209,11 @@ def main():
             leaf = jax.tree.leaves(_state_leaf(model, name))[0]
             float(jnp.asarray(leaf).ravel()[0])
             samples.append((time.time() - t0) / n_time * 1000.0)
-        per_iter_ms[name] = round(float(np.mean(samples)), 4)
+        # min, not mean: the axon tunnel intermittently stalls a whole
+        # 500-iter chunk (~50+ us/iter inflation on ONE sample), and a
+        # stall landing on one side of a fused/_xla twin pair flips the
+        # comparison sign. The spread stays visible in the std + samples.
+        per_iter_ms[name] = round(float(np.min(samples)), 4)
         per_iter_ms_std[name] = round(float(np.std(samples)), 4)
         if name.endswith("_xla"):
             os.environ.pop("PACOH_TPU_DISABLE_FUSED", None)
@@ -295,6 +304,12 @@ def main():
                 / 197e12 * 100.0, 2),
             "per_iter_ms": per_iter_ms,
             "per_iter_ms_std": per_iter_ms_std,
+            # which t5_n200 rows ride a fused mega-kernel vs the XLA step
+            # with blocked Pallas linalg (svgd/vi: measured-off dispatch,
+            # fused_svgd_bign_kernel.svgd_bign_wins — their _xla twins run
+            # the SAME path, so those pairs should read ~equal)
+            "bign_fused_dispatch": {"map": True, "svgd": False,
+                                    "vi": False, "mlap": False},
             "mlap_meta_test_s_per_task_3000steps": round(
                 mlap_meta_test_s_per_task, 3),
             "mlap_t5_n200_meta_test_s_per_task_3000steps": round(
